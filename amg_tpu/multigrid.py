@@ -176,6 +176,8 @@ def vcycle(hier: Hierarchy, smoother: SmootherBase, u: jnp.ndarray,
         us[l] = _smooth_level(smoother, lev.smoother_state, us[l], bs[l])
         rs[l] = bs[l] - lev.A.matvec(us[l])
         bs[l + 1] = lev.R.matvec(rs[l])
+        # coarse solution starts at zero each cycle (multigrid.hpp:278)
+        us[l + 1] = jnp.zeros_like(bs[l + 1])
     us[L - 1] = hier.coarse.solve(bs[L - 1])
     rs[L - 1] = bs[L - 1] - hier.levels[L - 1].A.matvec(us[L - 1])
     for l in range(L - 2, -1, -1):
