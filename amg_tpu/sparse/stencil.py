@@ -1,0 +1,218 @@
+"""Structured 9-point stencil operators on 2-D grids — the TPU fast path.
+
+Under the tensor-product bilinear transfer (ops/transfer.py), Galerkin RAP of
+the 5-point Laplacian (models/poisson.py, reference grid.hpp:88-98) is closed
+over 9-point stencils: every level of the hierarchy is a (3, 3, n, n) array
+of per-point coefficient planes on an n x n grid. SpMV, residual, smoother
+sweeps, restriction, and prolongation all become shifted elementwise ops and
+tiny convolutions — static shapes, no gathers, pure VPU/MXU work. This is
+the format the big-grid benchmarks run on; the general unstructured format
+stays ELL (sparse/ell.py).
+
+Index conventions match the reference's lexicographic dofs
+(dof = j*n + i, j = x/outer, i = y/inner; grid.hpp:127-137): 2-D fields are
+indexed ``u2[j, i]`` and ``u2.reshape(-1)`` reproduces the flat dof vector.
+Coefficient plane ``c[dj+1, di+1][j, i]`` multiplies ``u2[j+dj, i+di]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["c"], meta_fields=["side"])
+@dataclasses.dataclass(frozen=True)
+class Stencil2D:
+    """Variable-coefficient 9-point stencil operator on an n x n grid."""
+
+    c: jnp.ndarray  # (3, 3, n, n)
+    side: int
+
+    @property
+    def n_rows(self) -> int:
+        return self.side * self.side
+
+    @property
+    def dtype(self):
+        return self.c.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(np.asarray(self.c)))
+
+    def diag(self) -> jnp.ndarray:
+        return self.c[1, 1]
+
+    # -- core ops (all static-shape shifted slices) -----------------------
+
+    def matvec2(self, u2: jnp.ndarray) -> jnp.ndarray:
+        """A @ u on the 2-D field: sum of 9 shifted products."""
+        n = self.side
+        up = jnp.pad(u2, 1)
+        out = jnp.zeros_like(u2)
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                w = self.c[dj + 1, di + 1]
+                out = out + w * jax.lax.slice(
+                    up, (1 + dj, 1 + di), (1 + dj + n, 1 + di + n))
+        return out
+
+    def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Flat-vector interface matching ELL.matvec."""
+        n = self.side
+        return self.matvec2(u.reshape(n, n)).reshape(-1)
+
+    # -- conversions ------------------------------------------------------
+
+    @staticmethod
+    def from_scipy(A, side: int, dtype=None) -> "Stencil2D":
+        """Extract 9-point planes from a sparse matrix with lexicographic
+        dofs. Raises if A has couplings outside the 3x3 neighborhood."""
+        A = A.tocsr().copy()
+        A.eliminate_zeros()  # drop explicit zeros before pattern checks
+        A = A.tocoo()
+        n = side
+        c = np.zeros((3, 3, n, n), dtype=A.data.dtype)
+        r_j, r_i = A.row // n, A.row % n
+        c_j, c_i = A.col // n, A.col % n
+        dj, di = c_j - r_j, c_i - r_i
+        if np.any(np.abs(dj) > 1) or np.any(np.abs(di) > 1):
+            raise ValueError("matrix is not a 9-point stencil on this grid")
+        np.add.at(c, (dj + 1, di + 1, r_j, r_i), A.data)
+        if dtype is None:
+            dtype = A.data.dtype
+        return Stencil2D(c=jnp.asarray(c, dtype=dtype), side=side)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        n = self.side
+        c = np.asarray(self.c)
+        rows, cols, vals = [], [], []
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                j, i = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+                jj, ii = j + dj, i + di
+                ok = (jj >= 0) & (jj < n) & (ii >= 0) & (ii < n)
+                v = c[dj + 1, di + 1]
+                rows.append((j * n + i)[ok])
+                cols.append((jj * n + ii)[ok])
+                vals.append(v[ok])
+        mat = sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n * n, n * n)).tocsr()
+        mat.eliminate_zeros()
+        return mat
+
+    def astype(self, dtype) -> "Stencil2D":
+        return Stencil2D(c=self.c.astype(dtype), side=self.side)
+
+
+# ---------------------------------------------------------------------------
+# Four-color Gauss-Seidel sweep
+
+
+def _color_slices(n: int, pj: int, pi: int):
+    """Shapes of the (pj, pi)-parity sub-lattice."""
+    nj = (n - pj + 1) // 2
+    ni = (n - pi + 1) // 2
+    return nj, ni
+
+
+def gs4_color_update(S: Stencil2D, u2, b2, pj: int, pi: int,
+                     omega: float = 1.0):
+    """Gauss-Seidel update of the (j%2==pj, i%2==pi) color.
+
+    Points of one 2x2-parity class share no 9-point edge, so their updates
+    are independent — the structured analog of the multicolor ELL sweep
+    (ops/smoothers.py), replacing the reference's sequential per-row update
+    (smoother.hpp:129-138).
+    """
+    n = S.side
+    nj, ni = _color_slices(n, pj, pi)
+    up = jnp.pad(u2, 1)
+    acc = jnp.zeros((nj, ni), dtype=u2.dtype)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            if dj == 0 and di == 0:
+                continue
+            w = jax.lax.slice(S.c[dj + 1, di + 1], (pj, pi), (n, n), (2, 2))
+            nb = jax.lax.slice(up, (1 + pj + dj, 1 + pi + di),
+                               (1 + pj + dj + 2 * nj - 1,
+                                1 + pi + di + 2 * ni - 1), (2, 2))
+            acc = acc + w * nb
+    diag = jax.lax.slice(S.c[1, 1], (pj, pi), (n, n), (2, 2))
+    bsub = jax.lax.slice(b2, (pj, pi), (n, n), (2, 2))
+    usub = jax.lax.slice(u2, (pj, pi), (n, n), (2, 2))
+    gs = (bsub - acc) / diag
+    new = usub + omega * (gs - usub)
+    return u2.at[pj::2, pi::2].set(new)
+
+
+# Color visit order: the 2x2-block classes.
+FOUR_COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def gs4_sweep(S: Stencil2D, u2, b2, omega: float = 1.0,
+              symmetric: bool = True):
+    """One four-color Gauss-Seidel iteration (optionally symmetric: colors
+    forward then reversed, mirroring the reference's fwd+bwd symmetric sweep,
+    smoother.hpp:189-198)."""
+    order = list(FOUR_COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    for pj, pi in order:
+        u2 = gs4_color_update(S, u2, b2, pj, pi, omega)
+    return u2
+
+
+def jacobi_sweep(S: Stencil2D, u2, b2, omega: float = 0.8):
+    """Weighted-Jacobi sweep on the stencil level."""
+    r = b2 - S.matvec2(u2)
+    return u2 + omega * r / S.c[1, 1]
+
+
+# ---------------------------------------------------------------------------
+# Tensor-product grid transfer (P = kron(P1, P1), R = P^T; ops/transfer.py)
+
+_W1D = np.array([0.5, 1.0, 0.5])
+W2D = np.outer(_W1D, _W1D)  # bilinear 3x3 weights
+
+
+def restrict_fw(r2: jnp.ndarray) -> jnp.ndarray:
+    """R @ r for R = kron(P1, P1)^T: 3x3 weighted window at stride 2
+    centered on odd fine points. Fine side n = 2*nc + 1 -> coarse side nc."""
+    n = r2.shape[0]
+    nc = (n - 1) // 2
+    w = jnp.asarray(W2D, dtype=r2.dtype)
+    out = jnp.zeros((nc, nc), dtype=r2.dtype)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            out = out + w[dj + 1, di + 1] * jax.lax.slice(
+                r2, (1 + dj, 1 + di), (1 + dj + 2 * nc - 1, 1 + di + 2 * nc - 1),
+                (2, 2))
+    return out
+
+
+def prolong(uc2: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+    """P @ u_c: scatter coarse values to odd fine points and apply the 3x3
+    bilinear kernel."""
+    nc = uc2.shape[0]
+    assert n_fine == 2 * nc + 1
+    z = jnp.zeros((n_fine + 2, n_fine + 2), dtype=uc2.dtype)
+    # fine point (2a+1, 2b+1) sits at padded index (2a+2, 2b+2)
+    z = z.at[2:2 + 2 * nc:2, 2:2 + 2 * nc:2].set(uc2)
+    w = jnp.asarray(W2D, dtype=uc2.dtype)
+    out = jnp.zeros((n_fine, n_fine), dtype=uc2.dtype)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            out = out + w[dj + 1, di + 1] * jax.lax.slice(
+                z, (1 + dj, 1 + di), (1 + dj + n_fine, 1 + di + n_fine))
+    return out

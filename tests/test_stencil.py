@@ -1,0 +1,120 @@
+"""Structured stencil-path tests: operator equivalence against the
+unstructured scipy/ELL oracle, four-color sweep correctness, transfer
+equivalence with kron(P1,P1), and end-to-end structured V-cycle convergence."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from amg_tpu.models import poisson
+from amg_tpu.ops.transfer import linear_interp_1d
+from amg_tpu.sparse.stencil import (Stencil2D, gs4_sweep, prolong,
+                                    restrict_fw)
+from amg_tpu.structured import (build_stencil_hierarchy, max_levels_for_side,
+                                solve_ir, solve_stencil, vcycle_stencil)
+from amg_tpu.utils.coloring import four_color_2d
+
+
+def test_stencil_from_scipy_roundtrip():
+    n = 7
+    A = poisson.laplacian_scipy(n)
+    S = Stencil2D.from_scipy(A, n)
+    np.testing.assert_allclose(S.to_scipy().toarray(), A.toarray())
+
+
+def test_stencil_matvec_matches_scipy():
+    n = 9
+    A = poisson.laplacian_scipy(n)
+    S = Stencil2D.from_scipy(A, n)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(n * n)
+    np.testing.assert_allclose(np.asarray(S.matvec(jnp.asarray(u))), A @ u,
+                               rtol=1e-13)
+
+
+def test_stencil_matvec_galerkin_level():
+    """9-point Galerkin level matvec matches scipy."""
+    n = 7
+    A = poisson.laplacian_scipy(n)
+    P1 = linear_interp_1d(7, 3)
+    P = sp.kron(P1, P1).tocsr()
+    A_H = (P.T @ (A @ P)).tocsr()
+    S = Stencil2D.from_scipy(A_H, 3)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(9)
+    np.testing.assert_allclose(np.asarray(S.matvec(jnp.asarray(u))), A_H @ u,
+                               rtol=1e-12)
+
+
+def test_gs4_sweep_matches_color_ordered_sequential():
+    """Four-color structured sweep equals sequential GS visited in
+    four-color order (dense oracle)."""
+    n = 5
+    A = poisson.laplacian_scipy(n)
+    S = Stencil2D.from_scipy(A, n)
+    dense = A.toarray()
+    b = np.asarray(poisson.rhs(n))
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal(n * n)
+    u0 = jnp.asarray(u.reshape(n, n))
+
+    colors = four_color_2d(n)
+    order = np.concatenate([np.nonzero(colors == c)[0] for c in range(4)])
+    for i in order:
+        s = dense[i] @ u - dense[i, i] * u[i]
+        u[i] = (b[i] - s) / dense[i, i]
+
+    out = gs4_sweep(S, u0, jnp.asarray(b.reshape(n, n)), symmetric=False)
+    np.testing.assert_allclose(np.asarray(out).reshape(-1), u, rtol=1e-12)
+
+
+def test_restrict_matches_kron_P():
+    nf, nc = 9, 4
+    P1 = linear_interp_1d(nf, nc)
+    P = sp.kron(P1, P1)
+    rng = np.random.default_rng(3)
+    r = rng.standard_normal(nf * nf)
+    expect = (P.T @ r).reshape(nc, nc)
+    got = restrict_fw(jnp.asarray(r.reshape(nf, nf)))
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-13)
+
+
+def test_prolong_matches_kron_P():
+    nf, nc = 9, 4
+    P1 = linear_interp_1d(nf, nc)
+    P = sp.kron(P1, P1)
+    rng = np.random.default_rng(4)
+    uc = rng.standard_normal(nc * nc)
+    expect = (P @ uc).reshape(nf, nf)
+    got = prolong(jnp.asarray(uc.reshape(nc, nc)), nf)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-13)
+
+
+def test_max_levels():
+    assert max_levels_for_side(31) == 4   # 31 -> 15 -> 7 -> 3
+    assert max_levels_for_side(1023) == 9
+
+
+def test_structured_vcycle_converges_f64():
+    side = 31
+    hier = build_stencil_hierarchy(side, dtype=jnp.float64)
+    b2 = poisson.rhs(side).reshape(side, side)
+    res = solve_stencil(hier, b2, tolerance=1e-9, n_iters=100,
+                        compute_error_every_n_iters=1)
+    assert res.converged
+    assert res.iterations <= 12  # textbook multigrid efficiency
+    # solution matches dense direct solve
+    A = poisson.laplacian_scipy(side)
+    u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
+                               rtol=0, atol=1e-7)
+
+
+def test_structured_ir_reaches_f64_tolerance():
+    """f32 V-cycles + f64 defect correction reach rss < 1e-9."""
+    side = 31
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res = solve_ir(side, b2, tolerance=1e-9)
+    assert res.converged
+    assert res.error < 1e-9
