@@ -1,0 +1,95 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh: sharded level ops
+must agree with single-device results to fp tolerance, and the distributed
+solve must converge — the N-host correctness pattern the reference has no
+analog of (SURVEY.md §4 implications)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from amg_tpu.models import poisson
+from amg_tpu.parallel.structured_dist import (DistStructuredSolver,
+                                              plan_distribution)
+from amg_tpu.structured import build_stencil_hierarchy, solve_stencil
+
+
+def test_eight_virtual_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_plan_distribution_invariants():
+    sides, blocks, Ls = plan_distribution(31, 4, 8)
+    assert sides == (31, 15, 7, 3)
+    assert Ls >= 1
+    # halving, even blocks; padded rows cover the grid
+    for l in range(Ls):
+        assert blocks[l] % 2 == 0 or l == Ls - 1
+        assert 8 * blocks[l] >= sides[l]
+        if l + 1 < Ls:
+            assert blocks[l + 1] == blocks[l] // 2
+
+
+@pytest.mark.parametrize("side", [31, 63])
+def test_dist_vcycle_matches_single_device(side):
+    """One distributed V-cycle == one single-device V-cycle (same algorithm,
+    same numbers up to fp reassociation)."""
+    D = 8
+    solver = DistStructuredSolver(side, n_devices=D, dtype=jnp.float64)
+    n_levels = len(solver.cfg.sides)
+    hier = build_stencil_hierarchy(side, n_levels=n_levels,
+                                   dtype=jnp.float64)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+
+    b_pad = solver.pad_field(b2)
+    u_pad = jnp.zeros_like(b_pad)
+    u_dist = solver.unpad(solver.vcycle(u_pad, b_pad))
+
+    from amg_tpu.structured import vcycle_stencil
+    u_single = vcycle_stencil(hier, jnp.zeros_like(b2), b2)
+
+    np.testing.assert_allclose(np.asarray(u_dist), np.asarray(u_single),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_dist_solve_converges_and_matches_direct():
+    side = 31
+    solver = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res = solver.solve(b2, tolerance=1e-9, compute_error_every_n_iters=1,
+                       n_iters=50)
+    assert res.converged
+    A = poisson.laplacian_scipy(side)
+    u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
+                               rtol=0, atol=1e-7)
+
+
+def test_dist_solve_iteration_count_matches_single_device():
+    """Same algorithm => same iteration count as the single-device
+    structured solver."""
+    side = 31
+    solver = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res_d = solver.solve(b2, tolerance=1e-9, compute_error_every_n_iters=1,
+                         n_iters=50)
+    hier = build_stencil_hierarchy(side, n_levels=len(solver.cfg.sides),
+                                   dtype=jnp.float64)
+    res_s = solve_stencil(hier, b2, tolerance=1e-9,
+                          compute_error_every_n_iters=1, n_iters=50)
+    assert res_d.iterations == res_s.iterations
+
+
+def test_dist_various_device_counts():
+    """Works for 1, 2, 4 devices too (padding/agglomeration paths)."""
+    side = 31
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    results = []
+    for D in (1, 2, 4):
+        solver = DistStructuredSolver(side, n_devices=D, dtype=jnp.float64)
+        res = solver.solve(b2, tolerance=1e-9,
+                           compute_error_every_n_iters=1, n_iters=50)
+        assert res.converged, f"D={D}"
+        results.append(np.asarray(res.u))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-10)
+    np.testing.assert_allclose(results[0], results[2], rtol=1e-10)
