@@ -1,0 +1,79 @@
+"""TPU micro-benchmarks for the stencil kernels (run on the real chip).
+
+Usage: python scripts/microbench.py [side]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from amg_tpu.models import poisson
+from amg_tpu.sparse.stencil import (Stencil2D, color_masks, gs4_sweep,
+                                    gs4_sweep_masked, jacobi_sweep)
+
+
+INNER = 50  # amortize per-dispatch overhead (~1.4 ms through the tunnel)
+
+
+def loopit(step):
+    """step: u -> u. Returns jitted fn running INNER iterations."""
+    import functools
+
+    @jax.jit
+    def run(u):
+        return jax.lax.fori_loop(0, INNER, lambda _, uu: step(uu), u)
+
+    return run
+
+
+def timeit(fn, *args, iters=5, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters / INNER
+
+
+def main():
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 511
+    dtype = jnp.float32
+    S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side, dtype=dtype)
+    b2 = poisson.rhs(side, dtype=dtype).reshape(side, side)
+    u2 = jnp.zeros_like(b2)
+    masks = color_masks(side, dtype)
+    nnz = S.nnz
+
+    t = timeit(loopit(lambda u: S.matvec2(u)), u2)
+    print(f"matvec2       {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
+
+    t = timeit(loopit(lambda u: gs4_sweep(S, u, b2, 1.0, True)), u2)
+    print(f"gs4 strided   {t*1e3:8.3f} ms   {2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
+
+    t = timeit(loopit(lambda u: gs4_sweep_masked(S, u, b2, masks, 1.0, True)),
+               u2)
+    print(f"gs4 masked    {t*1e3:8.3f} ms   {2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
+
+    t = timeit(loopit(lambda u: jacobi_sweep(S, u, b2)), u2)
+    print(f"jacobi        {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
+
+    # memory roofline reference: one full-field axpy
+    t = timeit(loopit(lambda u: u + 1.0), u2)
+    bw = 2 * side * side * u2.dtype.itemsize / t / 1e9
+    print(f"axpy ref      {t*1e3:8.3f} ms   {bw:8.1f} GB/s")
+
+
+if __name__ == "__main__":
+    main()
