@@ -69,6 +69,20 @@ def main():
     t = timeit(loopit(lambda u: jacobi_sweep(S, u, b2)), u2)
     print(f"jacobi        {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
 
+    # fused Pallas symmetric sweep
+    from amg_tpu.ops.pallas.rbgs import PaddedStencil, fused_gs4_sweep
+
+    for tr in (64, 128, 256):
+        try:
+            ps = PaddedStencil.prepare(S, tr=tr, dtype=dtype)
+            bp = ps.pad_field(b2)
+            t = timeit(loopit(lambda u: fused_gs4_sweep(ps, u, bp)),
+                       ps.pad_field(u2))
+            print(f"gs4 fused({tr:3d}) {t*1e3:7.3f} ms   "
+                  f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
+        except Exception as e:
+            print(f"gs4 fused({tr}) FAILED: {type(e).__name__}: {str(e)[:200]}")
+
     # memory roofline reference: one full-field axpy
     t = timeit(loopit(lambda u: u + 1.0), u2)
     bw = 2 * side * side * u2.dtype.itemsize / t / 1e9
