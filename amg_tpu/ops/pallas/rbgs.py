@@ -2,33 +2,34 @@
 
 The XLA masked sweep (sparse/stencil.py gs4_sweep_masked) round-trips u
 through HBM once per color step — 8 full-field read/write passes per
-symmetric sweep. This kernel performs the *entire* symmetric sweep (8 color
-steps) with the tile resident in VMEM, using ghost-zone temporal blocking:
+symmetric sweep, and measures memory-bound at exactly that traffic. This
+kernel performs the *entire* symmetric sweep (8 color steps) with the tile
+resident in VMEM, using ghost-zone temporal blocking:
 
-  * the grid tiles rows; each tile also receives its neighbor row-blocks
-    (three BlockSpec views of the same arrays), giving a ghost margin;
+  * operands live in HBM (`pl.ANY`); the kernel DMAs each row tile plus a
+    GHOST-row margin into VMEM scratch (pltpu.make_async_copy);
   * each color step is a full-width masked update (VPU-aligned — no strided
     lane access) over the tile + ghost region;
   * one in-VMEM color step invalidates one ghost row per side, so with
-    GHOST >= 8 the interior TR rows are exact after all 8 steps — identical
+    GHOST > 8 the interior TR rows are exact after all 8 steps — identical
     results to the sequential color-ordered sweep;
   * neighbor reads use ``pltpu.roll`` (cheap lane/sublane rotation);
     wrap-around values land only on padding whose coefficients are zero and
     whose diagonal is one, so they contribute nothing.
 
-HBM traffic per symmetric sweep: ~3x(9 coeff planes + b + u) reads + 1x u
-write, vs ~8x12 passes for the unfused XLA path.
+HBM traffic per symmetric sweep: ~(9 coeff planes + b + u) reads + u write,
+times a (TR + 2*G1)/TR ghost overhead — ~6x less than the unfused path.
 
 Padded-frame layout (built by ``PaddedStencil.prepare``): rows =
-[GHOST zeros | N real | pad to multiple of TR | GHOST zeros], cols =
-[2 zeros | N real | pad to lane multiple]. Padding rows/cols carry identity
-diagonal so masked GS updates keep them at exactly zero.
+[G1 zeros | N real | pad to multiple of TR | G1 zeros], cols =
+[2 zeros | N real | pad to lane multiple]. G1 and TR are even so local
+parity equals real-grid parity (masks become compile-time constants), and
+padding rows/cols carry identity diagonal so updates keep them at zero.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 from functools import partial
 
 import jax
@@ -37,9 +38,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GHOST = 8          # one row per color step, symmetric sweep = 8 steps
+G1 = 16            # ghost+margin rows per side (even, > 8 color steps)
 LANE = 128
 COL_PAD_LEFT = 2   # keeps column parity aligned with the real grid
+VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 # color order must match sparse/stencil.py FOUR_COLORS (+ reverse)
 _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
@@ -57,36 +59,35 @@ def _roll2(x, dj: int, di: int):
     return x
 
 
-def _sweep_kernel(cp_ref, cc_ref, cn_ref, bp_ref, bc_ref, bn_ref,
-                  up_ref, uc_ref, un_ref, out_ref, *, tr: int,
-                  omega: float, symmetric: bool):
-    g1 = GHOST + 1
-    R = tr + 2 * g1  # compute region rows (tile + ghost + 1 read margin)
+def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
+                  tr: int, omega: float, symmetric: bool):
+    t = pl.program_id(0)
+    row0 = t * tr
+    W = tr + 2 * G1
 
-    # Assemble the compute window from the three row-blocks.
-    def window(pref, cref, nref, planes: bool):
-        if planes:
-            return jnp.concatenate(
-                [pref[:, tr - g1:, :], cref[:], nref[:, :g1, :]], axis=1)
-        return jnp.concatenate(
-            [pref[tr - g1:, :], cref[:], nref[:g1, :]], axis=0)
+    cp_c = pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs,
+                                 sems.at[0])
+    cp_b = pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs,
+                                 sems.at[1])
+    cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us,
+                                 sems.at[2])
+    cp_c.start()
+    cp_b.start()
+    cp_u.start()
+    cp_c.wait()
+    cp_b.wait()
+    cp_u.wait()
 
-    C = window(cp_ref, cc_ref, cn_ref, True)    # (9, R, M)
-    B = window(bp_ref, bc_ref, bn_ref, False)   # (R, M)
-    U = window(up_ref, uc_ref, un_ref, False)   # (R, M)
+    C = Cs[:]
+    B = Bs[:]
+    U = Us[:]
     M = U.shape[1]
+    inv_diag = 1.0 / C[4]  # center plane (dj=0, di=0)
 
-    inv_diag = 1.0 / C[4]  # center plane (dj=0, di=0) at index 4
-
-    # Static parity masks: real row parity of local row l is (l + 1) % 2
-    # (tr, GHOST even); real col parity of local col c is c % 2
-    # (COL_PAD_LEFT = 2).
-    row_par = jax.lax.broadcasted_iota(jnp.int32, (R, M), 0) % 2
-    col_par = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1) % 2
-    masks = {}
-    for pj, pi in _COLORS:
-        m = (row_par == (pj + 1) % 2) & (col_par == pi)
-        masks[(pj, pi)] = m.astype(U.dtype)
+    # Static parity masks: real row parity of local row l is l % 2 (row0 and
+    # G1 even); real col parity of local col c is c % 2 (COL_PAD_LEFT = 2).
+    row_par = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) % 2
+    col_par = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1) % 2
 
     order = list(_COLORS)
     if symmetric:
@@ -98,9 +99,23 @@ def _sweep_kernel(cp_ref, cc_ref, cn_ref, bp_ref, bc_ref, bn_ref,
             plane = k if k < 4 else k + 1  # skip center plane
             acc = acc + C[plane] * _roll2(U, dj, di)
         delta = (B - acc) * inv_diag - U  # gs value minus current u
-        U = U + (omega * masks[(pj, pi)]) * delta
+        mask = ((row_par == pj) & (col_par == pi)).astype(U.dtype)
+        U = U + (omega * mask) * delta
 
-    out_ref[:] = U[g1:g1 + tr, :]
+    Us[:] = U
+    cp_out = pltpu.make_async_copy(Us.at[G1:G1 + tr, :],
+                                   out_hbm.at[pl.ds(row0 + G1, tr), :],
+                                   sems.at[3])
+    cp_out.start()
+    cp_out.wait()
+
+
+def pick_tile_rows(cols: int, itemsize: int = 4) -> int:
+    """Largest even TR with (9+1+1) x (TR + 2*G1) x cols in budget."""
+    for tr in (256, 128, 64, 32, 16, 8):
+        if 11 * (tr + 2 * G1) * cols * itemsize <= VMEM_BUDGET:
+            return tr
+    return 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,22 +132,23 @@ class PaddedStencil:
         return self.c_pad.shape[1:]
 
     @staticmethod
-    def prepare(S, tr: int = 64, dtype=None) -> "PaddedStencil":
+    def prepare(S, tr: int | None = None, dtype=None) -> "PaddedStencil":
         """Pad a Stencil2D's coefficient planes into the kernel frame."""
         c = np.asarray(S.c)  # (3, 3, n, n)
         n = S.side
         if dtype is None:
             dtype = c.dtype
-        n_tiles = -(-n // tr)
-        rows = GHOST + n_tiles * tr + GHOST
         cols = COL_PAD_LEFT + n
         cols = -(-cols // LANE) * LANE
+        if tr is None:
+            tr = pick_tile_rows(cols, np.dtype(dtype).itemsize)
+        n_tiles = -(-n // tr)
+        rows = G1 + n_tiles * tr + G1
         cp = np.zeros((9, rows, cols), dtype=dtype)
-        cp[:, GHOST:GHOST + n, COL_PAD_LEFT:COL_PAD_LEFT + n] = (
-            c.reshape(9, n, n))
+        cp[:, G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n] = c.reshape(9, n, n)
         # identity diagonal everywhere outside the real grid
         mask = np.ones((rows, cols), dtype=bool)
-        mask[GHOST:GHOST + n, COL_PAD_LEFT:COL_PAD_LEFT + n] = False
+        mask[G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n] = False
         cp[4][mask] = 1.0
         return PaddedStencil(c_pad=jnp.asarray(cp), side=n, tr=tr,
                              n_tiles=n_tiles)
@@ -141,12 +157,11 @@ class PaddedStencil:
         rows, cols = self.padded_shape
         n = self.side
         out = jnp.zeros((rows, cols), dtype=self.c_pad.dtype)
-        return out.at[GHOST:GHOST + n,
-                      COL_PAD_LEFT:COL_PAD_LEFT + n].set(f2)
+        return out.at[G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n].set(f2)
 
     def unpad_field(self, fp: jnp.ndarray) -> jnp.ndarray:
         n = self.side
-        return fp[GHOST:GHOST + n, COL_PAD_LEFT:COL_PAD_LEFT + n]
+        return fp[G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n]
 
 
 def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
@@ -156,55 +171,30 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
     """One fused symmetric four-color GS sweep on padded operands.
 
     Equivalent to gs4_sweep / gs4_sweep_masked on the real interior
-    (sparse/stencil.py), but one kernel launch and one HBM round-trip.
+    (sparse/stencil.py), but one kernel launch and ~one HBM round-trip.
+    Rows outside [G1, G1 + n_tiles*tr) of the returned frame are copied
+    through unchanged (they are zeros in a well-formed padded field).
     """
     tr = ps.tr
     rows, cols = ps.padded_shape
     nt = ps.n_tiles
-    # tile t's interior rows: [GHOST + t*tr, GHOST + (t+1)*tr).
-    # The three row-block views: block indices t-1, t, t+1 over a frame
-    # offset so that block t covers rows [GHOST + t*tr - tr, ...). We instead
-    # address raw blocks of the padded array: block k covers rows
-    # [k*tr, (k+1)*tr). Interior block of tile t is block at row offset
-    # GHOST + t*tr, which is NOT tr-aligned (GHOST=8 < tr), so we realign by
-    # extending the frame: shift everything so block boundaries land on
-    # GHOST + m*tr via an extra leading pad of (tr - GHOST).
-    lead = tr - GHOST
-    grid = (nt,)
-
-    def pad_lead(x, axis):
-        pads = [(0, 0)] * x.ndim
-        pads[axis] = (lead, 0)
-        return jnp.pad(x, pads)
-
-    c_al = pad_lead(ps.c_pad, 1)
-    u_al = pad_lead(u_pad, 0)
-    b_al = pad_lead(b_pad, 0)
-    nrows_al = rows + lead
-    # ensure a full block exists below the last tile
-    tail = (nt + 2) * tr - nrows_al
-    if tail > 0:
-        c_al = jnp.pad(c_al, ((0, 0), (0, tail), (0, 0)))
-        c_al = c_al.at[4, nrows_al:, :].set(1.0)
-        u_al = jnp.pad(u_al, ((0, tail), (0, 0)))
-        b_al = jnp.pad(b_al, ((0, tail), (0, 0)))
-    # now tile t's interior = aligned block t+1; neighbors t and t+2.
-    cspec = lambda k: pl.BlockSpec((9, tr, cols), lambda t, k=k: (0, t + k, 0),
-                                   memory_space=pltpu.VMEM)
-    fspec = lambda k: pl.BlockSpec((tr, cols), lambda t, k=k: (t + k, 0),
-                                   memory_space=pltpu.VMEM)
+    W = tr + 2 * G1
+    dtype = u_pad.dtype
 
     kernel = partial(_sweep_kernel, tr=tr, omega=omega, symmetric=symmetric)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[cspec(0), cspec(1), cspec(2),
-                  fspec(0), fspec(1), fspec(2),
-                  fspec(0), fspec(1), fspec(2)],
-        out_specs=pl.BlockSpec((tr, cols), lambda t: (t + 1, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(u_al.shape, u_al.dtype),
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((9, W, cols), dtype),
+            pltpu.VMEM((W, cols), dtype),
+            pltpu.VMEM((W, cols), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={2: 0},  # u buffer donated to the output
         interpret=interpret,
-    )(c_al, c_al, c_al, b_al, b_al, b_al, u_al, u_al, u_al)
-    # restore original padded frame (out rows [lead, lead+rows))
-    return jax.lax.slice(out, (lead, 0), (lead + rows, cols))
+    )(ps.c_pad, b_pad, u_pad)
+    return out

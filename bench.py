@@ -1,0 +1,125 @@
+"""Headline benchmark (driver-run, real TPU).
+
+Metric (BASELINE.json): 2-D Poisson V-cycle solve to 1e-7 residual (rss,
+the reference's convergence measure, common.hpp:17-27).
+
+  * TPU path: structured multigrid (f32 V-cycles + f64 iterative
+    refinement) on a 1023x1023 interior grid — 1,046,529 dofs.
+  * Baseline: the same problem solved by the reference-class CPU AMG
+    (native C++ replica of the reference's V-cycle + sequential symmetric
+    Gauss-Seidel solver structure, single thread — see
+    amg_tpu/native/amgcore.cpp) with the same 9-point/bilinear hierarchy
+    and the same tolerance.
+
+Prints exactly one JSON line on stdout:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline = cpu_seconds / tpu_seconds (higher is better).
+Details go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# f64 for the iterative-refinement outer loop (reference tolerances are
+# 1e-9-scale double; TPU f64 is emulated but only touched once per
+# refinement step).
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+SIDE = 1023
+TOL = 1e-7
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tpu_solve():
+    from amg_tpu.models import poisson
+    from amg_tpu.structured import build_stencil_hierarchy, solve_ir
+
+    b2 = jnp.asarray(np.asarray(poisson.rhs(SIDE, dtype=jnp.float64)
+                                ).reshape(SIDE, SIDE))
+    log(f"building f32 hierarchy side={SIDE} ...")
+    t0 = time.perf_counter()
+    hier = build_stencil_hierarchy(SIDE, dtype=jnp.float32)
+    log(f"setup {time.perf_counter()-t0:.1f}s; levels="
+        f"{[s for s in hier.sides]}")
+
+    # warmup (compile)
+    t0 = time.perf_counter()
+    res = solve_ir(SIDE, b2, hier32=hier, tolerance=TOL)
+    log(f"warmup solve: {time.perf_counter()-t0:.1f}s, iters="
+        f"{res.iterations}, rss={res.error:.3e}, conv={res.converged}")
+    assert res.converged, "TPU solve did not converge"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = solve_ir(SIDE, b2, hier32=hier, tolerance=TOL)
+        jax.block_until_ready(res.u)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    log(f"tpu solve best-of-3: {t:.4f}s ({res.iterations} cycles, "
+        f"rss={res.error:.3e})")
+    return t, res
+
+
+def cpu_baseline():
+    import scipy.sparse as sp
+
+    from amg_tpu.models import poisson
+    from amg_tpu.native import bindings
+    from amg_tpu.ops.transfer import linear_interp_1d
+    from amg_tpu.structured import max_levels_for_side
+
+    if not bindings.available():
+        log("native baseline unavailable; using stored constant")
+        return None
+
+    n_levels = max_levels_for_side(SIDE)
+    mats = [poisson.laplacian_scipy(SIDE)]
+    Ps, Rs = [], []
+    side = SIDE
+    t0 = time.perf_counter()
+    for _ in range(n_levels - 1):
+        nc = (side - 1) // 2
+        P1 = linear_interp_1d(side, nc)
+        P2 = sp.kron(P1, P1).tocsr()
+        Ps.append(P2)
+        Rs.append(P2.T.tocsr())
+        mats.append(bindings.galerkin_rap(Rs[-1], mats[-1], P2))
+        side = nc
+    log(f"cpu setup {time.perf_counter()-t0:.1f}s")
+    b = np.asarray(poisson.rhs(SIDE, dtype=jnp.float64))
+    out = bindings.cpu_vcycle_solve(mats, Ps, Rs, b, tol=TOL,
+                                    check_every=1, max_iters=100)
+    secs, iters, rss, u = out
+    log(f"cpu reference-class solve: {secs:.3f}s ({iters} cycles, "
+        f"rss={rss:.3e})")
+    if rss > TOL:
+        log("WARNING: cpu baseline did not converge")
+    return secs
+
+
+def main():
+    tpu_secs, res = tpu_solve()
+    cpu_secs = cpu_baseline()
+    vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
+    print(json.dumps({
+        "metric": f"poisson2d_{SIDE}x{SIDE}_amg_solve_rss1e-7_wall",
+        "value": round(tpu_secs, 5),
+        "unit": "s",
+        "vs_baseline": round(vs, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ import pytest
 import scipy.sparse as sp
 
 from amg_tpu.models import poisson
-from amg_tpu.ops.pallas.rbgs import GHOST, PaddedStencil, fused_gs4_sweep
+from amg_tpu.ops.pallas.rbgs import G1, PaddedStencil, fused_gs4_sweep
 from amg_tpu.ops.transfer import linear_interp_1d
 from amg_tpu.sparse.stencil import Stencil2D, color_masks, gs4_sweep, \
     gs4_sweep_masked
