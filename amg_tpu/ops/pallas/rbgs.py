@@ -111,9 +111,10 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
 
 
 def pick_tile_rows(cols: int, itemsize: int = 4) -> int:
-    """Largest even TR with (9+1+1) x (TR + 2*G1) x cols in budget."""
+    """Largest even TR fitting VMEM: 11 scratch row-blocks (9 coeff planes
+    + b + u) plus ~12 compiler temporaries of one (W, cols) block each."""
     for tr in (256, 128, 64, 32, 16, 8):
-        if 11 * (tr + 2 * G1) * cols * itemsize <= VMEM_BUDGET:
+        if 23 * (tr + 2 * G1) * cols * itemsize <= VMEM_BUDGET:
             return tr
     return 8
 

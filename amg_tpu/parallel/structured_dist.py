@@ -82,42 +82,27 @@ def _matvec_local(c_loc, u_loc, D: int):
     return out
 
 
-def _gs4_color_local(c_loc, u_loc, b_loc, pj: int, pi: int, omega: float,
-                     D: int):
-    """Sharded four-color GS update (see sparse/stencil.py
-    gs4_color_update); B even => local parity == global parity."""
-    B, n = u_loc.shape
-    up = _padded(u_loc, D)
-    nj = B // 2
-    ni = (n - pi + 1) // 2
-    acc = jnp.zeros((nj, ni), dtype=u_loc.dtype)
-    for dj in (-1, 0, 1):
-        for di in (-1, 0, 1):
-            if dj == 0 and di == 0:
-                continue
-            w = lax.slice(c_loc[dj + 1, di + 1], (pj, pi), (B, n), (2, 2))
-            nb = lax.slice(up, (1 + pj + dj, 1 + pi + di),
-                           (1 + pj + dj + 2 * nj - 1,
-                            1 + pi + di + 2 * ni - 1), (2, 2))
-            acc = acc + w * nb
-    diag = lax.slice(c_loc[1, 1], (pj, pi), (B, n), (2, 2))
-    bsub = lax.slice(b_loc, (pj, pi), (B, n), (2, 2))
-    usub = lax.slice(u_loc, (pj, pi), (B, n), (2, 2))
-    gs = (bsub - acc) / diag
-    new = usub + omega * (gs - usub)
-    return u_loc.at[pj::2, pi::2].set(new)
-
-
 _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
 def _gs4_sweep_local(c_loc, u_loc, b_loc, omega: float, symmetric: bool,
                      D: int):
+    """Sharded four-color GS sweep as full-width masked updates (the
+    lane-aligned TPU form; see sparse/stencil.py gs4_sweep_masked). Local
+    parity equals global parity because block sizes are even, so the color
+    masks are compile-time iota patterns. One halo exchange per color step
+    keeps neighbor slabs current."""
+    B, n = u_loc.shape
+    row_par = jax.lax.broadcasted_iota(jnp.int32, (B, n), 0) % 2
+    col_par = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1) % 2
+    inv_diag = 1.0 / c_loc[1, 1]
     order = list(_COLORS)
     if symmetric:
         order = order + order[::-1]
     for pj, pi in order:
-        u_loc = _gs4_color_local(c_loc, u_loc, b_loc, pj, pi, omega, D)
+        r = b_loc - _matvec_local(c_loc, u_loc, D)
+        mask = ((row_par == pj) & (col_par == pi)).astype(u_loc.dtype)
+        u_loc = u_loc + (omega * mask) * (r * inv_diag)
     return u_loc
 
 
@@ -257,12 +242,23 @@ def build_dist_hierarchy(side: int, n_levels: int | None = None,
         sharded_coeffs.append(jnp.asarray(cp))
 
     # Replicated coarse sub-hierarchy (levels Ls..n_levels-1).
+    from amg_tpu.ops.transfer import linear_interp_1d as _li1
+    from amg_tpu.sparse.stencil import color_masks as _cm
+
     repl_levels = tuple(Stencil2D.from_scipy(mats[l], sides[l], dtype=dtype)
                         for l in range(Ls, n_levels))
     coarse_dense = jnp.asarray(mats[-1].toarray(), dtype=dtype)
     lu, piv = jsl.lu_factor(coarse_dense)
+    sub_sides = tuple(sides[Ls:])
+    sub_P1s = tuple(jnp.asarray(_li1(sub_sides[i], sub_sides[i + 1]
+                                     ).toarray(), dtype=dtype)
+                    for i in range(len(sub_sides) - 1))
+    sub_masks = tuple(_cm(s, dtype) for s in sub_sides)
     sub_hier = StencilHierarchy(levels=repl_levels, coarse_lu=lu,
-                                coarse_piv=piv, sides=tuple(sides[Ls:]))
+                                coarse_piv=piv, P1s=sub_P1s,
+                                masks=sub_masks,
+                                padded=(None,) * len(repl_levels),
+                                sides=sub_sides, smoother="masked")
     cfg = DistConfig(n_devices=n_devices, sides=tuple(sides),
                      blocks=tuple(blocks), n_sharded=Ls)
     return cfg, tuple(sharded_coeffs), sub_hier

@@ -26,20 +26,38 @@ import numpy as np
 from amg_tpu.models import poisson
 from amg_tpu.multigrid import SolveResult
 from amg_tpu.ops.transfer import linear_interp_1d
-from amg_tpu.sparse.stencil import (Stencil2D, gs4_sweep, jacobi_sweep,
-                                    prolong, restrict_fw)
+from amg_tpu.sparse.stencil import (Stencil2D, color_masks, gs4_sweep,
+                                    gs4_sweep_masked, jacobi_sweep, prolong,
+                                    restrict_fw)
 from amg_tpu.utils.metrics import rss_from_residual
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["levels", "coarse_lu", "coarse_piv"],
-         meta_fields=["sides"])
+         data_fields=["levels", "coarse_lu", "coarse_piv", "P1s", "masks",
+                      "padded"],
+         meta_fields=["sides", "smoother"])
 @dataclasses.dataclass(frozen=True)
 class StencilHierarchy:
+    """Structured level hierarchy.
+
+    P1s: dense per-level 1-D transfer matrices (side_f x side_c). Because
+    P2d = kron(P1, P1), restriction and prolongation factor into two dense
+    matmuls per field (P1^T @ X @ P1 and P1 @ X @ P1^T) — MXU work with no
+    strided lane access, the TPU-idiomatic form of the reference's sparse
+    transfer SpMVs (interpolator.hpp:52-68).
+    masks: (4, n, n) color masks per level for the masked sweep.
+    padded: per-level PaddedStencil operands when smoother == 'fused'
+    (Pallas ghost-zone kernel), else None.
+    """
+
     levels: tuple  # tuple[Stencil2D]
     coarse_lu: jnp.ndarray
     coarse_piv: jnp.ndarray
-    sides: tuple  # grid side per level
+    P1s: tuple
+    masks: tuple
+    padded: tuple
+    sides: tuple   # grid side per level
+    smoother: str  # 'masked' | 'fused' | 'strided'
 
     @property
     def n_levels(self) -> int:
@@ -56,8 +74,8 @@ def max_levels_for_side(side: int) -> int:
 
 
 def build_stencil_hierarchy(side: int, n_levels: int | None = None,
-                            dtype=jnp.float32,
-                            A_fine=None) -> StencilHierarchy:
+                            dtype=jnp.float32, A_fine=None,
+                            smoother: str = "masked") -> StencilHierarchy:
     """Build the structured hierarchy for the side x side interior Poisson
     grid (or a caller-supplied 9-point fine matrix).
 
@@ -65,6 +83,10 @@ def build_stencil_hierarchy(side: int, n_levels: int | None = None,
     (multigrid.hpp:219-223 pattern) with tensor-product P, then 9-point
     plane extraction. Coarsest level gets a cached dense LU
     (multigrid.hpp:240-243 pattern).
+
+    smoother: 'masked' (XLA full-width masked color updates — default),
+    'fused' (Pallas ghost-zone kernel on levels large enough to pay off),
+    or 'strided' (sub-lattice slicing; fine on CPU, slow on TPU lanes).
     """
     import scipy.sparse as sp
 
@@ -87,8 +109,58 @@ def build_stencil_hierarchy(side: int, n_levels: int | None = None,
                    for M, s in zip(mats, sides))
     coarse_dense = jnp.asarray(mats[-1].toarray(), dtype=dtype)
     lu, piv = jax.scipy.linalg.lu_factor(coarse_dense)
+    P1s = tuple(jnp.asarray(linear_interp_1d(sides[l], sides[l + 1]
+                                             ).toarray(), dtype=dtype)
+                for l in range(n_levels - 1))
+    masks = tuple(color_masks(s, dtype) for s in sides)
+    padded = (None,) * n_levels
+    if smoother == "fused":
+        from amg_tpu.ops.pallas.rbgs import PaddedStencil
+
+        padded = tuple(
+            PaddedStencil.prepare(levels[l], dtype=dtype)
+            if sides[l] >= FUSED_MIN_SIDE else None
+            for l in range(n_levels))
     return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
-                            sides=tuple(sides))
+                            P1s=P1s, masks=masks, padded=padded,
+                            sides=tuple(sides), smoother=smoother)
+
+
+# below this side the pad/unpad overhead of the fused kernel exceeds its
+# savings; fall back to the masked XLA sweep
+FUSED_MIN_SIDE = 256
+
+
+def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
+            omega: float, symmetric: bool):
+    S = hier.levels[l]
+    if hier.smoother == "strided":
+        for _ in range(sweeps):
+            u2 = gs4_sweep(S, u2, b2, omega, symmetric)
+        return u2
+    if hier.smoother == "fused" and hier.padded[l] is not None:
+        from amg_tpu.ops.pallas.rbgs import fused_gs4_sweep
+
+        ps = hier.padded[l]
+        up = ps.pad_field(u2)
+        bp = ps.pad_field(b2)
+        for _ in range(sweeps):
+            up = fused_gs4_sweep(ps, up, bp, omega, symmetric)
+        return ps.unpad_field(up)
+    for _ in range(sweeps):
+        u2 = gs4_sweep_masked(S, u2, b2, hier.masks[l], omega, symmetric)
+    return u2
+
+
+def restrict_mm(r2, P1):
+    """R @ r via the tensor-product factorization: P1^T @ r2 @ P1 (two MXU
+    matmuls; equals restrict_fw since R2d = kron(P1, P1)^T)."""
+    return P1.T @ r2 @ P1
+
+
+def prolong_mm(uc2, P1):
+    """P @ u_c via P1 @ uc2 @ P1^T."""
+    return P1 @ uc2 @ P1.T
 
 
 def vcycle_stencil(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
@@ -101,20 +173,17 @@ def vcycle_stencil(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     us[0], bs[0] = u2, b2
     for l in range(L - 1):
         S = hier.levels[l]
-        for _ in range(pre_sweeps):
-            us[l] = gs4_sweep(S, us[l], bs[l], omega, symmetric)
+        us[l] = _smooth(hier, l, us[l], bs[l], pre_sweeps, omega, symmetric)
         r = bs[l] - S.matvec2(us[l])
-        bs[l + 1] = restrict_fw(r)
+        bs[l + 1] = restrict_mm(r, hier.P1s[l])
         us[l + 1] = jnp.zeros_like(bs[l + 1])
     nc = hier.sides[-1]
     sol = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
                                     bs[L - 1].reshape(-1))
     us[L - 1] = sol.reshape(nc, nc)
     for l in range(L - 2, -1, -1):
-        S = hier.levels[l]
-        us[l] = us[l] + prolong(us[l + 1], hier.sides[l])
-        for _ in range(post_sweeps):
-            us[l] = gs4_sweep(S, us[l], bs[l], omega, symmetric)
+        us[l] = us[l] + prolong_mm(us[l + 1], hier.P1s[l])
+        us[l] = _smooth(hier, l, us[l], bs[l], post_sweeps, omega, symmetric)
     return us[0]
 
 
