@@ -57,7 +57,9 @@ def test_gs4_sweep_matches_color_ordered_sequential():
     b = np.asarray(poisson.rhs(n))
     rng = np.random.default_rng(2)
     u = rng.standard_normal(n * n)
-    u0 = jnp.asarray(u.reshape(n, n))
+    # copy: jnp.asarray may zero-copy the numpy buffer on CPU, and the
+    # oracle loop below mutates u in place
+    u0 = jnp.array(u.reshape(n, n).copy())
 
     colors = four_color_2d(n)
     order = np.concatenate([np.nonzero(colors == c)[0] for c in range(4)])
@@ -118,3 +120,41 @@ def test_structured_ir_reaches_f64_tolerance():
     res = solve_ir(side, b2, tolerance=1e-9)
     assert res.converged
     assert res.error < 1e-9
+
+
+def test_device_rap_matches_scipy():
+    """Closed-form on-device Galerkin RAP equals host scipy R@(A@P)."""
+    from amg_tpu.ops.rap import rap_stencil_planes
+
+    for side in (7, 15, 31):
+        A = poisson.laplacian_scipy(side)
+        S = Stencil2D.from_scipy(A, side, dtype=jnp.float64)
+        nc = (side - 1) // 2
+        P1 = linear_interp_1d(side, nc)
+        P = sp.kron(P1, P1).tocsr()
+        A_H = (P.T @ (A @ P)).tocsr()
+        want = Stencil2D.from_scipy(A_H, nc, dtype=jnp.float64)
+        got = rap_stencil_planes(S.c.reshape(3, 3, side, side))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want.c),
+                                   rtol=1e-12, atol=1e-14)
+
+
+def test_device_rap_two_levels():
+    from amg_tpu.ops.rap import build_hierarchy_planes
+
+    side = 15
+    A = poisson.laplacian_scipy(side)
+    S = Stencil2D.from_scipy(A, side, dtype=jnp.float64)
+    planes = build_hierarchy_planes(S.c, 3)
+    # compare level 2 against host chain
+    mats = [A]
+    s = side
+    for _ in range(2):
+        nc = (s - 1) // 2
+        P1 = linear_interp_1d(s, nc)
+        P = sp.kron(P1, P1).tocsr()
+        mats.append((P.T @ (mats[-1] @ P)).tocsr())
+        s = nc
+    want = Stencil2D.from_scipy(mats[2], 3, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(planes[2]), np.asarray(want.c),
+                               rtol=1e-12, atol=1e-14)
