@@ -80,8 +80,7 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
 
     C = Cs[:]
     B = Bs[:]
-    U = Us[:]
-    M = U.shape[1]
+    M = Bs.shape[1]
     inv_diag = 1.0 / C[4]  # center plane (dj=0, di=0)
 
     # Static parity masks: real row parity of local row l is l % 2 (row0 and
@@ -89,20 +88,24 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
     row_par = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) % 2
     col_par = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1) % 2
 
-    order = list(_COLORS)
-    if symmetric:
-        order = order + order[::-1]
+    n_steps = 8 if symmetric else 4
 
-    for pj, pi in order:
+    # One color step per loop iteration (compiled once, not unrolled 8x).
+    # Color sequence 00,01,10,11 then mirrored: index arithmetic on the
+    # step counter avoids captured constant arrays.
+    def step(s, U):
+        idx = jnp.where(s < 4, s, 7 - s)
+        pj = idx // 2
+        pi = idx % 2
         acc = jnp.zeros_like(U)
         for k, (dj, di) in enumerate(_OFFSETS):
             plane = k if k < 4 else k + 1  # skip center plane
             acc = acc + C[plane] * _roll2(U, dj, di)
         delta = (B - acc) * inv_diag - U  # gs value minus current u
         mask = ((row_par == pj) & (col_par == pi)).astype(U.dtype)
-        U = U + (omega * mask) * delta
+        return U + (omega * mask) * delta
 
-    Us[:] = U
+    Us[:] = jax.lax.fori_loop(0, n_steps, step, Us[:])
     cp_out = pltpu.make_async_copy(Us.at[G1:G1 + tr, :],
                                    out_hbm.at[pl.ds(row0 + G1, tr), :],
                                    sems.at[3])
