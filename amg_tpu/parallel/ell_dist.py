@@ -1,0 +1,419 @@
+"""Distributed unstructured (ELL) multigrid: row-partitioned V-cycles for
+arbitrary banded hierarchies — including the reference's flat 1-D
+interpolation pipeline (interpolator.hpp:98-142) at scale.
+
+Complements parallel/structured_dist.py (which requires 9-point grid
+levels): here every level operator is a general ELL matrix whose rows are
+partitioned into equal per-device blocks. The key mechanism is the
+*windowed halo*: for banded matrices under contiguous row partitioning
+(which the reference's lexicographic dof order produces, grid.hpp:88-98),
+all column references of a device's rows fall inside
+``[block_start - W, block_end + W)`` for a small host-computed W. Each op
+then needs only one ppermute exchange of W-wide boundary slices — the
+TPU-native NCCL-p2p analog named in SURVEY.md §2.
+
+Column indices are rewritten at setup to *window coordinates*
+(col - owner_block_start + W), so the device-local gather is
+``x_ext[cols_local]`` with ``x_ext = [left_halo | x_loc | right_halo]`` —
+static shapes, no runtime index arithmetic.
+
+Levels stay sharded while their window fits the block (W <= B and B >= 2);
+deeper levels are agglomerated: the coarse rhs is all_gather-ed and the
+remaining sub-hierarchy runs replicated on every device (reusing the
+single-device machinery from amg_tpu/multigrid.py), with the dense-LU
+coarsest solve (multigrid.hpp:240-243).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from amg_tpu.multigrid import SolveResult, build_hierarchy, vcycle
+from amg_tpu.ops.smoothers import MulticolorGaussSeidel
+from amg_tpu.ops.transfer import LinearInterpolator
+
+AXIS = "x"
+
+
+# ---------------------------------------------------------------------------
+# Host setup: padded/windowed ELL shards
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedOp:
+    """A row-partitioned ELL operator in window coordinates.
+
+    data/cols: (D*B_row, K) arrays (sharded on axis 0 at dispatch).
+    B_row: rows per device; B_x: per-device block of the input vector x;
+    W: halo width each side of the local x block.
+    """
+
+    data: jnp.ndarray
+    cols: jnp.ndarray
+    B_row: int
+    B_x: int
+    W: int
+
+    @staticmethod
+    def build(M, D: int, B_row: int, B_x: int, dtype) -> "ShardedOp":
+        """M: scipy CSR (n_rows x n_cols). Rows padded to D*B_row with
+        identity rows when square (n_rows == n_cols) or zero rows
+        otherwise; columns rewritten to window coordinates."""
+        import scipy.sparse as sp
+
+        M = M.tocsr()
+        n_rows, n_cols = M.shape
+        rows_pad = D * B_row
+        cols_pad = D * B_x
+        square = n_rows == n_cols
+        # operators act on the padded vector space [0, D*B_x); real columns
+        # keep their global indices (padding is appended at the end)
+        M = sp.csr_matrix((M.data, M.indices, M.indptr),
+                          shape=(n_rows, cols_pad))
+        if square:
+            # true identity rows on the padding: diag 1 at the row's own
+            # padded index, so padded vector entries stay exactly zero
+            # through smoothing, matvec and rss
+            eye_rows = np.arange(n_rows, rows_pad)
+            pad = sp.coo_matrix(
+                (np.ones(len(eye_rows)), (eye_rows - n_rows, eye_rows)),
+                shape=(rows_pad - n_rows, cols_pad))
+            Mp = sp.vstack([M, pad]).tocsr()
+        else:
+            pad = sp.csr_matrix((rows_pad - n_rows, cols_pad))
+            Mp = sp.vstack([M, pad]).tocsr()
+        Mp.sort_indices()
+        deg = np.diff(Mp.indptr)
+        K = max(int(deg.max()), 1)
+        data = np.zeros((rows_pad, K), dtype=np.float64)
+        rows_of = np.repeat(np.arange(rows_pad), deg)
+        pos = np.arange(Mp.nnz) - np.repeat(Mp.indptr[:-1], deg)
+        data[rows_of, pos] = Mp.data
+        colsg = np.zeros((rows_pad, K), dtype=np.int64)
+        colsg[rows_of, pos] = Mp.indices
+        # padding slots: owner's own block start (maps inside the window)
+        owner = (np.arange(rows_pad) // B_row)[:, None]
+        pad_slot = data == 0
+        colsg = np.where(pad_slot, owner * B_x, colsg)
+        # window width: max distance of any referenced column outside the
+        # owner's [0, B_x) block
+        rel = colsg - owner * B_x
+        W = int(max(1, np.max(np.maximum(-rel, rel - (B_x - 1)))))
+        cols_local = rel + W
+        assert cols_local.min() >= 0
+        assert cols_local.max() < B_x + 2 * W
+        return ShardedOp(data=jnp.asarray(data, dtype=dtype),
+                         cols=jnp.asarray(cols_local, dtype=jnp.int32),
+                         B_row=B_row, B_x=B_x, W=W)
+
+
+jax.tree_util.register_dataclass(
+    ShardedOp, data_fields=["data", "cols"],
+    meta_fields=["B_row", "B_x", "W"])
+
+
+def _exchange_w(x_loc, W: int, D: int):
+    """Window halo: left = last W of left neighbor, right = first W of
+    right neighbor (zeros at the edges)."""
+    dtype = x_loc.dtype
+    if D == 1 or W == 0:
+        z = jnp.zeros((W,), dtype=dtype)
+        return z, z
+    left = lax.ppermute(x_loc[-W:], AXIS, [(i, i + 1) for i in range(D - 1)])
+    right = lax.ppermute(x_loc[:W], AXIS, [(i + 1, i) for i in range(D - 1)])
+    return left, right
+
+
+def _matvec_local(op: ShardedOp, data_loc, cols_loc, x_loc, D: int):
+    left, right = _exchange_w(x_loc, op.W, D)
+    x_ext = jnp.concatenate([left, x_loc, right])
+    return jnp.sum(data_loc * x_ext[cols_loc], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy
+
+
+class EllDistSolver:
+    """Row-partitioned V-cycle solver for a general (banded) hierarchy.
+
+    Defaults to the reference pipeline: flat 1-D LinearInterpolator
+    transfer + Galerkin RAP (multigrid.hpp:211-243) with multicolor GS
+    smoothing. Correctness contract: identical iterate sequence to the
+    single-device multicolor solver (tests/test_ell_dist.py).
+    """
+
+    def __init__(self, A, b, n_levels: int, n_devices: int | None = None,
+                 dtype=jnp.float64, interpolator=None, omega: float = 1.0,
+                 symmetric: bool = True, min_rows: int = 2):
+        import scipy.sparse as sp
+        from amg_tpu.sparse.ell import ELL
+        from amg_tpu.utils.coloring import greedy_coloring
+
+        if n_devices is None:
+            n_devices = len(jax.devices())
+        D = n_devices
+        self.D = D
+        self.dtype = dtype
+        self.omega = omega
+        self.symmetric = symmetric
+        A_sp = A.to_scipy() if isinstance(A, ELL) else A.tocsr()
+        interp = interpolator or LinearInterpolator(n_levels)
+
+        # host Galerkin chain (reference ctor structure)
+        mats = [A_sp]
+        Ps, Rs = [], []
+        for _ in range(n_levels - 1):
+            n_h = mats[-1].shape[0]
+            n_H = interp.coarse_size(n_h)
+            Pm, Rm = interp.make_operators_scipy(n_h, n_H)
+            Ps.append(Pm.tocsr())
+            Rs.append(Rm.tocsr())
+            mats.append((Rm @ (mats[-1] @ Pm)).tocsr())
+
+        # choose sharded prefix: B_l = ceil(n_l/D) even; stay sharded while
+        # window fits the block
+        sizes = [M.shape[0] for M in mats]
+        Bs = [max(2, -(-s // D)) for s in sizes]
+        Bs = [b + (b % 2) for b in Bs]
+        ops = []
+        Ls = 0
+        for l in range(n_levels - 1):
+            A_op = ShardedOp.build(mats[l], D, Bs[l], Bs[l], dtype)
+            R_op = ShardedOp.build(Rs[l], D, Bs[l + 1], Bs[l], dtype)
+            P_op = ShardedOp.build(Ps[l], D, Bs[l], Bs[l + 1], dtype)
+            ok = (A_op.W <= Bs[l] and R_op.W <= Bs[l]
+                  and P_op.W <= Bs[l + 1] and Bs[l] >= min_rows
+                  and sizes[l] >= D * min_rows)
+            if not ok:
+                break
+            ops.append((A_op, R_op, P_op))
+            Ls = l + 1
+        if Ls == 0:
+            raise ValueError(
+                f"problem too small to shard over {D} devices")
+        self.Ls = Ls
+        self.sizes = sizes
+        self.Bs = Bs
+
+        # per-level color masks + diag (padded, sharded layout)
+        def level_aux(l, A_op):
+            n = sizes[l]
+            rows_pad = D * Bs[l]
+            ell = ELL.from_scipy(mats[l], dtype=dtype)
+            colors = greedy_coloring(np.asarray(ell.cols),
+                                     np.asarray(ell.data), n)
+            C = int(colors.max()) + 1
+            colors_pad = np.zeros(rows_pad, dtype=np.int64)
+            colors_pad[:n] = colors
+            colors_pad[n:] = 0
+            masks = np.stack([(colors_pad == c) for c in range(C)]
+                             ).astype(np.float64)
+            # padded rows: allow color-0 updates (diag 1, b 0 -> stays 0)
+            dd = np.zeros(rows_pad)
+            dd[:n] = mats[l].diagonal()
+            dd[n:] = 1.0
+            return (jnp.asarray(masks, dtype=dtype),
+                    jnp.asarray(dd, dtype=dtype))
+
+        levels = []
+        for l in range(Ls):
+            A_op, R_op, P_op = ops[l]
+            masks, diag = level_aux(l, A_op)
+            levels.append(dict(A=A_op, R=R_op, P=P_op, masks=masks,
+                               diag=diag))
+        self.levels = levels
+
+        # boundary prolongation uses global coarse indices into the
+        # replicated coarse vector (padded with one zero slot for pads)
+        Pb = Ps[Ls - 1].tocsr() if Ls - 1 < len(Ps) else None
+        self._setup_boundary(Pb, mats, Rs, Ls, D, dtype)
+
+        # replicated sub-hierarchy (levels Ls..n_levels-1) reusing the
+        # single-device machinery
+        self.sub_smoother = MulticolorGaussSeidel(omega=omega,
+                                                 symmetric=symmetric)
+        sub_interp = _FixedChain(Ps[Ls:], Rs[Ls:], sizes[Ls:])
+        self.sub_hier = build_hierarchy(mats[Ls], n_levels - Ls, sub_interp,
+                                        self.sub_smoother, dtype=dtype)
+
+        self.b = jnp.asarray(np.asarray(b), dtype=dtype)
+        self._build_program()
+
+    def _setup_boundary(self, Pb, mats, Rs, Ls, D, dtype):
+        """Prolongation from the (replicated) level Ls onto the sharded
+        level Ls-1: ELL panels with global coarse column indices."""
+        import scipy.sparse as sp
+
+        n_f = self.sizes[Ls - 1]
+        rows_pad = D * self.Bs[Ls - 1]
+        Pp = sp.vstack([Pb, sp.csr_matrix((rows_pad - n_f, Pb.shape[1]))]
+                       ).tocsr()
+        Pp.sort_indices()
+        deg = np.diff(Pp.indptr)
+        K = max(int(deg.max()), 1)
+        data = np.zeros((rows_pad, K))
+        cols = np.zeros((rows_pad, K), dtype=np.int64)
+        rows_of = np.repeat(np.arange(rows_pad), deg)
+        pos = np.arange(Pp.nnz) - np.repeat(Pp.indptr[:-1], deg)
+        data[rows_of, pos] = Pp.data
+        cols[rows_of, pos] = Pp.indices
+        self._Pb_data = jnp.asarray(data, dtype=dtype)
+        self._Pb_cols = jnp.asarray(cols, dtype=jnp.int32)
+
+    def _build_program(self):
+        D = self.D
+        Ls = self.Ls
+        mesh = jax.make_mesh((D,), (AXIS,), devices=jax.devices()[:D])
+        self.mesh = mesh
+        omega = self.omega
+        symmetric = self.symmetric
+        sub_hier = self.sub_hier
+        sub_smoother = self.sub_smoother
+        levels = self.levels
+        sizes = self.sizes
+        Bs = self.Bs
+        n_sub = sizes[Ls]
+
+        def mc_sweep(l, data_loc, cols_loc, masks_loc, diag_loc, u_loc,
+                     b_loc):
+            op = levels[l]["A"]
+            C = masks_loc.shape[0]
+            order = list(range(C))
+            if symmetric:
+                order = order + order[::-1]
+            for c in order:
+                r = b_loc - _matvec_local(op, data_loc, cols_loc, u_loc, D)
+                u_loc = u_loc + (omega * masks_loc[c]) * (r / diag_loc)
+            return u_loc
+
+        def vcycle_local(level_arrays, Pb_data_loc, Pb_cols_loc, u_loc,
+                         b_loc):
+            us = [None] * Ls
+            bs = [None] * Ls
+            us[0], bs[0] = u_loc, b_loc
+            for l in range(Ls):
+                aA, cA, aR, cR, aP, cP, masks, diag = level_arrays[l]
+                us[l] = mc_sweep(l, aA, cA, masks, diag, us[l], bs[l])
+                r = bs[l] - _matvec_local(levels[l]["A"], aA, cA, us[l], D)
+                coarse = _matvec_local(levels[l]["R"], aR, cR, r, D)
+                if l < Ls - 1:
+                    bs[l + 1] = coarse
+                    us[l + 1] = jnp.zeros_like(coarse)
+                else:
+                    full = lax.all_gather(coarse, AXIS, tiled=True)
+                    b_repl = full[:n_sub]
+            u_repl = vcycle(sub_hier, sub_smoother,
+                            jnp.zeros_like(b_repl), b_repl)
+            for l in range(Ls - 1, -1, -1):
+                aA, cA, aR, cR, aP, cP, masks, diag = level_arrays[l]
+                if l == Ls - 1:
+                    u_pad = jnp.concatenate(
+                        [u_repl, jnp.zeros((1,), dtype=u_repl.dtype)])
+                    corr = jnp.sum(Pb_data_loc * u_pad[Pb_cols_loc], axis=1)
+                else:
+                    corr = _matvec_local(levels[l]["P"], aP, cP, us[l + 1],
+                                         D)
+                us[l] = us[l] + corr
+                us[l] = mc_sweep(l, aA, cA, masks, diag, us[l], bs[l])
+            return us[0]
+
+        def rss_local(a0, c0, u_loc, b_loc):
+            r = b_loc - _matvec_local(levels[0]["A"], a0, c0, u_loc, D)
+            return lax.psum(jnp.sum(r * r), AXIS)
+
+        arrs = tuple(
+            (levels[l]["A"].data, levels[l]["A"].cols,
+             levels[l]["R"].data, levels[l]["R"].cols,
+             levels[l]["P"].data, levels[l]["P"].cols,
+             levels[l]["masks"], levels[l]["diag"])
+            for l in range(Ls))
+        spec_lvl = tuple(
+            (P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
+             P(AXIS, None), P(AXIS, None), P(None, AXIS), P(AXIS))
+            for _ in range(Ls))
+        fld = P(AXIS)
+        self._arrs = arrs
+        self._vcycle = jax.jit(jax.shard_map(
+            vcycle_local, mesh=mesh,
+            in_specs=(spec_lvl, P(AXIS, None), P(AXIS, None), fld, fld),
+            out_specs=fld))
+        self._rss = jax.jit(jax.shard_map(
+            rss_local, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), fld, fld),
+            out_specs=P()))
+
+    # -- public API -------------------------------------------------------
+
+    def pad_vec(self, v):
+        n_pad = self.D * self.Bs[0]
+        out = jnp.zeros(n_pad, dtype=self.dtype)
+        out = out.at[:self.sizes[0]].set(jnp.asarray(v, dtype=self.dtype))
+        return jax.device_put(
+            out, jax.sharding.NamedSharding(self.mesh, P(AXIS)))
+
+    def unpad_vec(self, v):
+        full = jax.device_put(
+            v, jax.sharding.NamedSharding(self.mesh, P()))
+        return full[:self.sizes[0]]
+
+    def vcycle_once(self, u_pad, b_pad):
+        return self._vcycle(self._arrs, self._Pb_data, self._Pb_cols,
+                            u_pad, b_pad)
+
+    def rss(self, u_pad, b_pad) -> float:
+        a0, c0 = self._arrs[0][0], self._arrs[0][1]
+        return float(self._rss(a0, c0, u_pad, b_pad))
+
+    def solve(self, tolerance=1e-9, compute_error_every_n_iters=5,
+              n_iters=100) -> SolveResult:
+        b_pad = self.pad_vec(self.b)
+        u = jnp.zeros_like(b_pad)
+        every = compute_error_every_n_iters
+        it, error = 0, 100.0
+        history = []
+        while it < n_iters and error > tolerance:
+            k = (min(every - (it % every), n_iters - it) if every
+                 else n_iters - it)
+            for _ in range(k):
+                u = self.vcycle_once(u, b_pad)
+            it += k
+            if every and it % every == 0:
+                error = self.rss(u, b_pad)
+                history.append((it, error))
+        return SolveResult(u=self.unpad_vec(u), iterations=it, error=error,
+                           converged=error <= tolerance, history=history)
+
+
+class _FixedChain:
+    """Interpolator facade replaying a precomputed P/R chain (used to build
+    the replicated sub-hierarchy without recomputing operators)."""
+
+    def __init__(self, Ps, Rs, sizes):
+        self._Ps = list(Ps)
+        self._Rs = list(Rs)
+        self._sizes = list(sizes)
+        self._i = 0
+        self.level_to_P = {}
+        self.level_to_R = {}
+
+    def coarse_size(self, n_h):
+        return self._Ps[self._i].shape[1]
+
+    def make_operators_scipy(self, n_h, n_H):
+        Pm, Rm = self._Ps[self._i], self._Rs[self._i]
+        self._i += 1
+        return Pm, Rm
+
+    def set_level_to_P(self, level, P):
+        self.level_to_P[level] = P
+
+    def set_level_to_R(self, level, R):
+        self.level_to_R[level] = R
