@@ -1,0 +1,64 @@
+"""Auxiliary subsystem tests: checkpoint/resume, configs, profiling
+(SURVEY.md §5 equivalents)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from amg_tpu.config import (MeshConfig, SmootherConfig, SolverConfig,
+                            StructuredConfig)
+from amg_tpu.models import poisson
+from amg_tpu.structured import build_stencil_hierarchy, solve_stencil
+from amg_tpu.utils import checkpoint
+from amg_tpu.utils.profiling import KernelStats, Roofline, time_fn
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    side = 15
+    hier = build_stencil_hierarchy(side, dtype=jnp.float64)
+    path = str(tmp_path / "hier.npz")
+    checkpoint.save_stencil_hierarchy(path, hier)
+    loaded = checkpoint.load_stencil_hierarchy(path)
+    assert loaded.sides == hier.sides
+    for a, b in zip(loaded.levels, hier.levels):
+        np.testing.assert_allclose(np.asarray(a.c), np.asarray(b.c))
+    # loaded hierarchy solves identically
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    r1 = solve_stencil(hier, b2, tolerance=1e-9,
+                       compute_error_every_n_iters=1)
+    r2 = solve_stencil(loaded, b2, tolerance=1e-9,
+                       compute_error_every_n_iters=1)
+    assert r1.iterations == r2.iterations
+    np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r2.u))
+
+
+def test_solution_snapshot_roundtrip(tmp_path):
+    path = str(tmp_path / "u.npz")
+    u = jnp.arange(10.0)
+    checkpoint.save_solution(path, u, 7, 1e-5)
+    u2, it, err = checkpoint.load_solution(path)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u))
+    assert it == 7 and err == 1e-5
+
+
+def test_config_defaults_match_reference():
+    """Defaults mirror the reference's hard-coded ctor values
+    (multigrid.hpp:155-156, smoother.hpp:25-37)."""
+    s = SmootherConfig()
+    assert (s.tolerance, s.compute_error_every_n_iters, s.n_iters) == (
+        1e-9, 100, 1)
+    m = SolverConfig()
+    assert (m.tolerance, m.compute_error_every_n_iters, m.n_iters) == (
+        1e-9, 10, 100)
+    StructuredConfig()
+    MeshConfig()
+
+
+def test_profiling_counters():
+    st = KernelStats(name="sweep", seconds=0.001, nnz=9_000_000, sweeps=2)
+    assert st.nnz_per_s == 18_000_000_000
+    r = Roofline()
+    sol = r.stencil_sweep_sol_s(1023 * 1023)
+    assert 0 < sol < 1e-3
+    assert "sweep" in st.summary(r, 1023 * 1023)
+    t = time_fn(jnp.sin, jnp.ones(8), iters=2, warmup=1)
+    assert t > 0
