@@ -90,12 +90,15 @@ def build_stencil_hierarchy(side: int, n_levels: int | None = None,
     """
     import scipy.sparse as sp
 
+    from amg_tpu.native import bindings
+
     if n_levels is None:
         n_levels = max_levels_for_side(side)
     if A_fine is None:
         A_fine = poisson.laplacian_scipy(side)
     sides = [side]
     mats = [A_fine.tocsr()]
+    native = bindings.available()
     for _ in range(n_levels - 1):
         n = sides[-1]
         if (n - 1) % 2 or n < 3:
@@ -103,7 +106,11 @@ def build_stencil_hierarchy(side: int, n_levels: int | None = None,
         nc = (n - 1) // 2
         P1 = linear_interp_1d(n, nc)
         P = sp.kron(P1, P1).tocsr()
-        mats.append((P.T @ (mats[-1] @ P)).tocsr())
+        if native:
+            R = bindings.csr_transpose(P)
+            mats.append(bindings.galerkin_rap(R, mats[-1], P))
+        else:
+            mats.append((P.T @ (mats[-1] @ P)).tocsr())
         sides.append(nc)
     levels = tuple(Stencil2D.from_scipy(M, s, dtype=dtype)
                    for M, s in zip(mats, sides))
@@ -266,3 +273,79 @@ def solve_ir(side: int, b2_f64, hier32: StencilHierarchy | None = None,
 def build_fine_stencil_f64(side: int) -> Stencil2D:
     return Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
                                 dtype=jnp.float64)
+
+
+class StructuredSolver:
+    """Persistent single-chip structured solver: hierarchy + jitted
+    programs built once, then cheap repeated solves.
+
+    ``solve(b2)`` runs pure-f32 V-cycles to an f32-attainable tolerance;
+    ``solve_ir(b2_f64)`` wraps them in f64 defect correction for
+    reference-grade (1e-7..1e-9) rss. The per-call work is a handful of
+    cached jitted dispatches — no re-tracing (unlike the free functions
+    above, which are convenience one-shots).
+    """
+
+    def __init__(self, side: int, n_levels: int | None = None,
+                 smoother: str = "masked", pre_sweeps: int = 1,
+                 post_sweeps: int = 1, omega: float = 1.0,
+                 symmetric: bool = True, cycles_per_refine: int = 2,
+                 A_fine=None):
+        self.side = side
+        self.hier = build_stencil_hierarchy(side, n_levels,
+                                            dtype=jnp.float32,
+                                            A_fine=A_fine,
+                                            smoother=smoother)
+        if A_fine is None:
+            A64 = build_fine_stencil_f64(side)
+        else:
+            A64 = Stencil2D.from_scipy(A_fine, side, dtype=jnp.float64)
+        self._A64 = A64
+        self.cycles_per_refine = cycles_per_refine
+        hier = self.hier
+
+        @jax.jit
+        def cycles32(e2, r32):
+            for _ in range(cycles_per_refine):
+                e2 = vcycle_stencil(hier, e2, r32, pre_sweeps, post_sweeps,
+                                    omega, symmetric)
+            return e2
+
+        @jax.jit
+        def refine_step(u64, b64):
+            r = b64 - A64.matvec2(u64)
+            err = rss_from_residual(r)
+            e = cycles32(jnp.zeros(r.shape, dtype=jnp.float32),
+                         r.astype(jnp.float32))
+            return u64 + e.astype(jnp.float64), err
+
+        @jax.jit
+        def residual_rss(u64, b64):
+            return rss_from_residual(b64 - A64.matvec2(u64))
+
+        self._cycles32 = cycles32
+        self._refine_step = refine_step
+        self._residual_rss = residual_rss
+
+    def warmup(self):
+        """Compile all programs (first call is slow on a cold cache)."""
+        z64 = jnp.zeros((self.side, self.side), dtype=jnp.float64)
+        u, _ = self._refine_step(z64, z64)
+        jax.block_until_ready(u)
+
+    def solve_ir(self, b2_f64, tolerance: float = 1e-7,
+                 n_refine: int = 40) -> SolveResult:
+        u = jnp.zeros_like(b2_f64)
+        history = []
+        it = 0
+        error = float("inf")
+        for _ in range(n_refine):
+            u_next, err = self._refine_step(u, b2_f64)
+            error = float(err)
+            history.append((it, error))
+            if error <= tolerance:
+                break
+            u = u_next
+            it += self.cycles_per_refine
+        return SolveResult(u=u, iterations=it, error=error,
+                           converged=error <= tolerance, history=history)

@@ -43,31 +43,32 @@ def log(*a):
 
 def tpu_solve():
     from amg_tpu.models import poisson
-    from amg_tpu.structured import build_stencil_hierarchy, solve_ir
+    from amg_tpu.structured import StructuredSolver
 
     b2 = jnp.asarray(np.asarray(poisson.rhs(SIDE, dtype=jnp.float64)
                                 ).reshape(SIDE, SIDE))
     log(f"building f32 hierarchy side={SIDE} ...")
     t0 = time.perf_counter()
-    hier = build_stencil_hierarchy(SIDE, dtype=jnp.float32)
+    solver = StructuredSolver(SIDE)
     log(f"setup {time.perf_counter()-t0:.1f}s; levels="
-        f"{[s for s in hier.sides]}")
+        f"{list(solver.hier.sides)}")
 
-    # warmup (compile)
     t0 = time.perf_counter()
-    res = solve_ir(SIDE, b2, hier32=hier, tolerance=TOL)
-    log(f"warmup solve: {time.perf_counter()-t0:.1f}s, iters="
-        f"{res.iterations}, rss={res.error:.3e}, conv={res.converged}")
+    solver.warmup()
+    log(f"warmup (compile): {time.perf_counter()-t0:.1f}s")
+    res = solver.solve_ir(b2, tolerance=TOL)
+    log(f"first solve: iters={res.iterations}, rss={res.error:.3e}, "
+        f"conv={res.converged}")
     assert res.converged, "TPU solve did not converge"
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        res = solve_ir(SIDE, b2, hier32=hier, tolerance=TOL)
+        res = solver.solve_ir(b2, tolerance=TOL)
         jax.block_until_ready(res.u)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    log(f"tpu solve best-of-3: {t:.4f}s ({res.iterations} cycles, "
+    log(f"tpu solve best-of-5: {t:.4f}s ({res.iterations} cycles, "
         f"rss={res.error:.3e})")
     return t, res
 

@@ -158,3 +158,15 @@ def test_device_rap_two_levels():
     want = Stencil2D.from_scipy(mats[2], 3, dtype=jnp.float64)
     np.testing.assert_allclose(np.asarray(planes[2]), np.asarray(want.c),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_structured_solver_object():
+    from amg_tpu.structured import StructuredSolver
+
+    side = 31
+    solver = StructuredSolver(side)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res = solver.solve_ir(b2, tolerance=1e-9)
+    assert res.converged and res.error < 1e-9
+    res2 = solver.solve_ir(b2, tolerance=1e-9)
+    assert res2.iterations == res.iterations
