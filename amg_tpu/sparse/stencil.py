@@ -75,6 +75,7 @@ class Stencil2D:
         """Extract 9-point planes from a sparse matrix with lexicographic
         dofs. Raises if A has couplings outside the 3x3 neighborhood."""
         A = A.tocsr().copy()
+        A.sum_duplicates()
         A.eliminate_zeros()  # drop explicit zeros before pattern checks
         A = A.tocoo()
         n = side
@@ -84,7 +85,9 @@ class Stencil2D:
         dj, di = c_j - r_j, c_i - r_i
         if np.any(np.abs(dj) > 1) or np.any(np.abs(di) > 1):
             raise ValueError("matrix is not a 9-point stencil on this grid")
-        np.add.at(c, (dj + 1, di + 1, r_j, r_i), A.data)
+        # duplicates were summed above, so plain fancy assignment suffices
+        # (np.add.at is ~50x slower)
+        c[dj + 1, di + 1, r_j, r_i] = A.data
         if dtype is None:
             dtype = A.data.dtype
         return Stencil2D(c=jnp.asarray(c, dtype=dtype), side=side)
@@ -174,11 +177,11 @@ def gs4_sweep(S: Stencil2D, u2, b2, omega: float = 1.0,
 
 
 def color_masks(n: int, dtype=jnp.bool_):
-    """(4, n, n) masks of the 2x2-parity classes (host-computable, tiny)."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return jnp.stack([((j % 2) == pj) & ((i % 2) == pi)
-                      for pj, pi in FOUR_COLORS]).astype(dtype)
+    """(4, n, n) masks of the 2x2-parity classes (host numpy — setup)."""
+    j, i = np.indices((n, n))
+    m = np.stack([((j % 2) == pj) & ((i % 2) == pi)
+                  for pj, pi in FOUR_COLORS])
+    return jnp.asarray(m, dtype=dtype)
 
 
 def gs4_sweep_masked(S: Stencil2D, u2, b2, masks, omega: float = 1.0,

@@ -292,14 +292,13 @@ class StructuredSolver:
                  symmetric: bool = True, cycles_per_refine: int = 2,
                  A_fine=None):
         self.side = side
+        if A_fine is None:
+            A_fine = poisson.laplacian_scipy(side)  # built once, shared
         self.hier = build_stencil_hierarchy(side, n_levels,
                                             dtype=jnp.float32,
                                             A_fine=A_fine,
                                             smoother=smoother)
-        if A_fine is None:
-            A64 = build_fine_stencil_f64(side)
-        else:
-            A64 = Stencil2D.from_scipy(A_fine, side, dtype=jnp.float64)
+        A64 = Stencil2D.from_scipy(A_fine, side, dtype=jnp.float64)
         self._A64 = A64
         self.cycles_per_refine = cycles_per_refine
         hier = self.hier
@@ -323,15 +322,56 @@ class StructuredSolver:
         def residual_rss(u64, b64):
             return rss_from_residual(b64 - A64.matvec2(u64))
 
+        @partial(jax.jit, static_argnums=(2,))
+        def solve_loop(b64, tol, n_refine):
+            """Whole defect-correction solve as ONE device program
+            (lax.while_loop): no host round-trip per refinement step. The
+            loop-carried error lags the iterate by one step (it is the rss
+            of u *before* the latest correction), so the loop may run one
+            refinement past convergence; the final exact rss is computed
+            after exit."""
+
+            def cond(state):
+                u, err, it = state
+                return (err > tol) & (it < n_refine)
+
+            def body(state):
+                u, _, it = state
+                r = b64 - A64.matvec2(u)
+                err = rss_from_residual(r)
+                e = cycles32(jnp.zeros(r.shape, dtype=jnp.float32),
+                             r.astype(jnp.float32))
+                return u + e.astype(jnp.float64), err, it + 1
+
+            u0 = jnp.zeros_like(b64)
+            init = (u0, jnp.asarray(jnp.inf, dtype=b64.dtype),
+                    jnp.asarray(0, dtype=jnp.int32))
+            u, _, it = jax.lax.while_loop(cond, body, init)
+            final_err = rss_from_residual(b64 - A64.matvec2(u))
+            return u, final_err, it
+
         self._cycles32 = cycles32
         self._refine_step = refine_step
         self._residual_rss = residual_rss
+        self._solve_loop = solve_loop
 
     def warmup(self):
         """Compile all programs (first call is slow on a cold cache)."""
         z64 = jnp.zeros((self.side, self.side), dtype=jnp.float64)
         u, _ = self._refine_step(z64, z64)
         jax.block_until_ready(u)
+        u, _, _ = self._solve_loop(z64, 1e-7, 40)
+        jax.block_until_ready(u)
+
+    def solve_ir_fused(self, b2_f64, tolerance: float = 1e-7,
+                       n_refine: int = 40) -> SolveResult:
+        """One-dispatch device-resident solve (see solve_loop)."""
+        u, err, it = self._solve_loop(b2_f64, tolerance, n_refine)
+        error = float(err)
+        iters = int(it) * self.cycles_per_refine
+        return SolveResult(u=u, iterations=iters, error=error,
+                           converged=error <= tolerance,
+                           history=[(iters, error)])
 
     def solve_ir(self, b2_f64, tolerance: float = 1e-7,
                  n_refine: int = 40) -> SolveResult:

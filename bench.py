@@ -56,7 +56,7 @@ def tpu_solve():
     t0 = time.perf_counter()
     solver.warmup()
     log(f"warmup (compile): {time.perf_counter()-t0:.1f}s")
-    res = solver.solve_ir(b2, tolerance=TOL)
+    res = solver.solve_ir_fused(b2, tolerance=TOL)
     log(f"first solve: iters={res.iterations}, rss={res.error:.3e}, "
         f"conv={res.converged}")
     assert res.converged, "TPU solve did not converge"
@@ -64,7 +64,7 @@ def tpu_solve():
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        res = solver.solve_ir(b2, tolerance=TOL)
+        res = solver.solve_ir_fused(b2, tolerance=TOL)
         jax.block_until_ready(res.u)
         times.append(time.perf_counter() - t0)
     t = min(times)

@@ -170,3 +170,16 @@ def test_structured_solver_object():
     assert res.converged and res.error < 1e-9
     res2 = solver.solve_ir(b2, tolerance=1e-9)
     assert res2.iterations == res.iterations
+
+
+def test_structured_solver_fused_loop():
+    from amg_tpu.structured import StructuredSolver
+
+    side = 31
+    solver = StructuredSolver(side)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res = solver.solve_ir_fused(b2, tolerance=1e-9)
+    assert res.converged and res.error < 1e-9
+    ref = solver.solve_ir(b2, tolerance=1e-9)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
+                               rtol=1e-10)
