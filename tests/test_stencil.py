@@ -180,6 +180,9 @@ def test_structured_solver_fused_loop():
     b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
     res = solver.solve_ir_fused(b2, tolerance=1e-9)
     assert res.converged and res.error < 1e-9
-    ref = solver.solve_ir(b2, tolerance=1e-9)
-    np.testing.assert_allclose(np.asarray(res.u), np.asarray(ref.u),
-                               rtol=1e-10)
+    # both paths converge to the direct solution (they may stop at
+    # different refinement counts, so compare to the oracle, not each other)
+    A = poisson.laplacian_scipy(side)
+    u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
+    np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
+                               rtol=0, atol=1e-7)
