@@ -87,3 +87,53 @@ def build_hierarchy_planes(c_fine: jnp.ndarray, n_levels: int):
     for _ in range(n_levels - 1):
         planes.append(rap_stencil_planes(planes[-1]))
     return planes
+
+
+def poisson_planes(side: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Fine-level 5-point Laplacian as (3,3,n,n) planes, built with device
+    iota arithmetic — no host assembly, no bulk transfer (values match
+    models/poisson.laplacian exactly: -4/h^2 diag, +1/h^2 neighbors,
+    boundary couplings zeroed)."""
+    n = side
+    h = 2.0 / (n + 1)
+    inv_h2 = 1.0 / (h * h)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    one = jnp.ones((n, n), dtype=dtype) * inv_h2
+    c = jnp.zeros((3, 3, n, n), dtype=dtype)
+    c = c.at[1, 1].set(-4.0 * one)
+    c = c.at[0, 1].set(jnp.where(j > 0, one, 0))       # u[j-1, i]
+    c = c.at[2, 1].set(jnp.where(j < n - 1, one, 0))   # u[j+1, i]
+    c = c.at[1, 0].set(jnp.where(i > 0, one, 0))       # u[j, i-1]
+    c = c.at[1, 2].set(jnp.where(i < n - 1, one, 0))   # u[j, i+1]
+    return c
+
+
+def planes_to_dense(c: jnp.ndarray) -> jnp.ndarray:
+    """Densify (3,3,n,n) planes into the (n^2, n^2) matrix — device op for
+    the (tiny) coarsest-level factorization."""
+    n = c.shape[-1]
+    N = n * n
+    out = jnp.zeros((N, N), dtype=c.dtype)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rows = (j * n + i).reshape(-1)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            jj = j + dj
+            ii = i + di
+            ok = (jj >= 0) & (jj < n) & (ii >= 0) & (ii < n)
+            cols = (jnp.clip(jj, 0, n - 1) * n
+                    + jnp.clip(ii, 0, n - 1)).reshape(-1)
+            vals = jnp.where(ok, c[dj + 1, di + 1], 0).reshape(-1)
+            out = out.at[rows, cols].add(vals)
+    return out
+
+
+def interp1d_dense(n_f: int, n_c: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense 1-D transfer matrix P1 (n_f x n_c) built on device:
+    P1[f, c] = w(f - 2c - 1) with w = [1/2, 1, 1/2]."""
+    f = jax.lax.broadcasted_iota(jnp.int32, (n_f, n_c), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (n_f, n_c), 1)
+    d = jnp.abs(f - 2 * cc - 1)
+    return jnp.where(d == 0, 1.0, jnp.where(d == 1, 0.5, 0.0)).astype(dtype)

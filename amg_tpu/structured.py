@@ -138,6 +138,56 @@ def build_stencil_hierarchy(side: int, n_levels: int | None = None,
 FUSED_MIN_SIDE = 256
 
 
+def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
+                                   dtype=jnp.float32) -> StencilHierarchy:
+    """Build the whole Poisson hierarchy ON DEVICE: fine planes from the
+    closed-form stencil pattern, coarse levels via the closed-form Galerkin
+    RAP (ops/rap.py), transfers/masks from device iota, coarsest dense LU
+    from densified planes.
+
+    No host sparse assembly and no bulk host->device transfer — setup cost
+    is one jitted program (vs tens of seconds of scipy + tunnel transfers
+    for 1M-dof grids). Numerics: identical operators up to `dtype` rounding
+    of the RAP accumulation.
+    """
+    from amg_tpu.ops.rap import (build_hierarchy_planes, interp1d_dense,
+                                 planes_to_dense, poisson_planes)
+
+    if n_levels is None:
+        n_levels = max_levels_for_side(side)
+    sides = [side]
+    for _ in range(n_levels - 1):
+        n = sides[-1]
+        if (n - 1) % 2 or n < 3:
+            raise ValueError(f"cannot coarsen side {n}; use side = 2^k - 1")
+        sides.append((n - 1) // 2)
+
+    @jax.jit
+    def _build():
+        planes = build_hierarchy_planes(poisson_planes(side, dtype),
+                                        n_levels)
+        coarse = planes_to_dense(planes[-1])
+        lu, piv = jax.scipy.linalg.lu_factor(coarse)
+        P1s = tuple(interp1d_dense(sides[l], sides[l + 1], dtype)
+                    for l in range(n_levels - 1))
+        masks = []
+        for s in sides:
+            j = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            i = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            masks.append(jnp.stack(
+                [((j % 2) == pj) & ((i % 2) == pi)
+                 for pj, pi in ((0, 0), (0, 1), (1, 0), (1, 1))]
+            ).astype(dtype))
+        return tuple(planes), lu, piv, P1s, tuple(masks)
+
+    planes, lu, piv, P1s, masks = _build()
+    levels = tuple(Stencil2D(c=c, side=s) for c, s in zip(planes, sides))
+    return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
+                            P1s=P1s, masks=masks,
+                            padded=(None,) * n_levels, sides=tuple(sides),
+                            smoother="masked")
+
+
 def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
             omega: float, symmetric: bool):
     S = hier.levels[l]
@@ -290,15 +340,23 @@ class StructuredSolver:
                  smoother: str = "masked", pre_sweeps: int = 1,
                  post_sweeps: int = 1, omega: float = 1.0,
                  symmetric: bool = True, cycles_per_refine: int = 2,
-                 A_fine=None):
+                 A_fine=None, device_setup: bool | None = None):
+        from amg_tpu.ops.rap import poisson_planes
+
         self.side = side
-        if A_fine is None:
-            A_fine = poisson.laplacian_scipy(side)  # built once, shared
-        self.hier = build_stencil_hierarchy(side, n_levels,
-                                            dtype=jnp.float32,
-                                            A_fine=A_fine,
-                                            smoother=smoother)
-        A64 = Stencil2D.from_scipy(A_fine, side, dtype=jnp.float64)
+        if device_setup is None:
+            device_setup = A_fine is None and smoother == "masked"
+        if device_setup and A_fine is None:
+            self.hier = build_stencil_hierarchy_device(side, n_levels)
+            A64 = Stencil2D(c=poisson_planes(side, jnp.float64), side=side)
+        else:
+            if A_fine is None:
+                A_fine = poisson.laplacian_scipy(side)  # built once, shared
+            self.hier = build_stencil_hierarchy(side, n_levels,
+                                                dtype=jnp.float32,
+                                                A_fine=A_fine,
+                                                smoother=smoother)
+            A64 = Stencil2D.from_scipy(A_fine, side, dtype=jnp.float64)
         self._A64 = A64
         self.cycles_per_refine = cycles_per_refine
         hier = self.hier

@@ -186,3 +186,24 @@ def test_structured_solver_fused_loop():
     u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
     np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
                                rtol=0, atol=1e-7)
+
+
+def test_device_hierarchy_matches_host():
+    """On-device hierarchy build == host scipy build (f64)."""
+    from amg_tpu.structured import build_stencil_hierarchy_device
+
+    side = 31
+    host = build_stencil_hierarchy(side, dtype=jnp.float64)
+    dev = build_stencil_hierarchy_device(side, dtype=jnp.float64)
+    assert dev.sides == host.sides
+    for a, b in zip(dev.levels, host.levels):
+        np.testing.assert_allclose(np.asarray(a.c), np.asarray(b.c),
+                                   rtol=1e-12, atol=1e-12)
+    for a, b in zip(dev.P1s, host.P1s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    r1 = solve_stencil(dev, b2, tolerance=1e-9,
+                       compute_error_every_n_iters=1)
+    r2 = solve_stencil(host, b2, tolerance=1e-9,
+                       compute_error_every_n_iters=1)
+    assert r1.converged and r1.iterations == r2.iterations
