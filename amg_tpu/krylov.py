@@ -1,0 +1,75 @@
+"""Krylov acceleration: conjugate gradient preconditioned by one V-cycle.
+
+Extension beyond the reference (which only iterates plain V-cycles,
+multigrid.hpp:311-337): using the multigrid cycle as a CG preconditioner is
+the standard production configuration for SPD systems — it is robust when
+the cycle alone stalls and typically cuts iteration counts further. The
+Poisson operator here is symmetric *negative* definite, so CG runs on the
+negated system internally.
+
+All device work is jitted; the outer loop follows the reference's stopping
+semantics (rss against an absolute tolerance, checked every iteration).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from amg_tpu.multigrid import SolveResult
+from amg_tpu.structured import StencilHierarchy, vcycle_stencil
+from amg_tpu.utils.metrics import rss_from_residual
+
+
+def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
+                      n_iters: int = 100, u0=None) -> SolveResult:
+    """Preconditioned CG on the structured hierarchy (M^-1 = one V-cycle).
+
+    Works on the negated (SPD) system; returns the solution of the original
+    one. rss semantics match the reference metric (common.hpp:17-27).
+    """
+    S0 = hier.levels[0]
+
+    def A_neg(x):  # SPD operator
+        return -S0.matvec2(x)
+
+    def precond(r):
+        # z = (-A)^-1 r = -(A^-1 r); one V-cycle from zero approximates
+        # A^-1 r, and the V-cycle operator is linear in its rhs, so the
+        # negation keeps M SPD.
+        return -vcycle_stencil(hier, jnp.zeros_like(r), r)
+
+    @jax.jit
+    def step(state):
+        u, r, z, p, it = state
+        Ap = A_neg(p)
+        alpha = jnp.vdot(r, z) / jnp.vdot(p, Ap)
+        u = u + alpha * p
+        r_new = r - alpha * Ap
+        z_new = precond(r_new)
+        beta = jnp.vdot(r_new, z_new) / jnp.vdot(r, z)
+        p = z_new + beta * p
+        return (u, r_new, z_new, p, it + 1)
+
+    @jax.jit
+    def residual_rss(state):
+        return rss_from_residual(state[1])
+
+    if u0 is None:
+        u0 = jnp.zeros_like(b2)
+    r0 = -b2 - A_neg(u0)  # negated system rhs is -b
+    z0 = precond(r0)
+    state = (u0, r0, z0, z0, 0)
+
+    it = 0
+    error = float(rss_from_residual(r0))
+    history = [(0, error)]
+    while it < n_iters and error > tolerance:
+        state = step(state)
+        it += 1
+        error = float(residual_rss(state))
+        history.append((it, error))
+    return SolveResult(u=state[0], iterations=it, error=error,
+                       converged=error <= tolerance, history=history)

@@ -74,6 +74,7 @@ def tpu_solve():
 
 
 def cpu_baseline():
+    # (min of 3 runs for a stable single-thread number)
     import scipy.sparse as sp
 
     from amg_tpu.models import poisson
@@ -100,11 +101,12 @@ def cpu_baseline():
         side = nc
     log(f"cpu setup {time.perf_counter()-t0:.1f}s")
     b = np.asarray(poisson.rhs(SIDE, dtype=jnp.float64))
-    out = bindings.cpu_vcycle_solve(mats, Ps, Rs, b, tol=TOL,
-                                    check_every=1, max_iters=100)
-    secs, iters, rss, u = out
-    log(f"cpu reference-class solve: {secs:.3f}s ({iters} cycles, "
-        f"rss={rss:.3e})")
+    runs = [bindings.cpu_vcycle_solve(mats, Ps, Rs, b, tol=TOL,
+                                      check_every=1, max_iters=100)
+            for _ in range(3)]
+    secs, iters, rss, u = min(runs, key=lambda r: r[0])
+    log(f"cpu reference-class solve best-of-3: {secs:.3f}s ({iters} "
+        f"cycles, rss={rss:.3e})")
     if rss > TOL:
         log("WARNING: cpu baseline did not converge")
     return secs
