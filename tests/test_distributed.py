@@ -93,3 +93,21 @@ def test_dist_various_device_counts():
         results.append(np.asarray(res.u))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-10)
     np.testing.assert_allclose(results[0], results[2], rtol=1e-10)
+
+
+def test_dist_vcycle_hlo_contains_expected_collectives():
+    """Structural check (SNIPPETS.md [2] HLO-inspection pattern): the
+    sharded V-cycle lowers to ppermute halo exchanges and an all-gather
+    agglomeration, with psum only in the rss program."""
+    side = 31
+    solver = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64)
+    b_pad = solver.pad_field(
+        poisson.rhs(side, dtype=jnp.float64).reshape(side, side))
+    u = jnp.zeros_like(b_pad)
+    hlo = solver._vcycle.lower(solver.coeffs, solver.sub_hier, u,
+                               b_pad).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" in hlo
+    rss_hlo = solver._rss.lower(solver.coeffs[0], u, b_pad
+                                ).compile().as_text()
+    assert "all-reduce" in rss_hlo
