@@ -59,28 +59,10 @@ def _roll2(x, dj: int, di: int):
     return x
 
 
-def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
-                  tr: int, omega: float, symmetric: bool):
-    t = pl.program_id(0)
-    row0 = t * tr
-    W = tr + 2 * G1
-
-    cp_c = pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs,
-                                 sems.at[0])
-    cp_b = pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs,
-                                 sems.at[1])
-    cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us,
-                                 sems.at[2])
-    cp_c.start()
-    cp_b.start()
-    cp_u.start()
-    cp_c.wait()
-    cp_b.wait()
-    cp_u.wait()
-
-    C = Cs[:]
-    B = Bs[:]
-    M = Bs.shape[1]
+def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
+    """Shared compute: run the color steps in place on the U scratch."""
+    M = B.shape[1]
+    W = B.shape[0]
     inv_diag = 1.0 / C[4]  # center plane (dj=0, di=0)
 
     # Static parity masks: real row parity of local row l is l % 2 (row0 and
@@ -106,11 +88,104 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
         return U + (omega * mask) * delta
 
     Us[:] = jax.lax.fori_loop(0, n_steps, step, Us[:])
+
+
+def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
+                  tr: int, omega: float, symmetric: bool):
+    """Single-buffered variant: DMA in, compute, DMA out, per tile."""
+    t = pl.program_id(0)
+    row0 = t * tr
+    W = tr + 2 * G1
+
+    cp_c = pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs,
+                                 sems.at[0])
+    cp_b = pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs,
+                                 sems.at[1])
+    cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us,
+                                 sems.at[2])
+    cp_c.start()
+    cp_b.start()
+    cp_u.start()
+    cp_c.wait()
+    cp_b.wait()
+    cp_u.wait()
+
+    _color_sweep_body(Cs[:], Bs[:], Us, omega, symmetric)
+
     cp_out = pltpu.make_async_copy(Us.at[G1:G1 + tr, :],
                                    out_hbm.at[pl.ds(row0 + G1, tr), :],
                                    sems.at[3])
     cp_out.start()
     cp_out.wait()
+
+
+def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
+                     in_sems, out_sems, *, tr: int, omega: float,
+                     symmetric: bool):
+    """Double-buffered variant: while tile t computes from slot t%2, the
+    tile t+1 operand DMAs stream into slot (t+1)%2, and tile t's result
+    streams out of its own output slot — DMA latency hides behind the 8
+    color steps. Scratch persists across the (sequential) TPU grid."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    W = tr + 2 * G1
+    two = jnp.asarray(2, dtype=jnp.asarray(t).dtype)
+    slot = jax.lax.rem(t, two)
+    nxt = jax.lax.rem(t + 1, two)
+
+    def start_in(tile, s):
+        row0 = tile * tr
+        pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs.at[s],
+                              in_sems.at[s, 0]).start()
+        pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs.at[s],
+                              in_sems.at[s, 1]).start()
+        pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us.at[s],
+                              in_sems.at[s, 2]).start()
+
+    def wait_in(tile, s):
+        row0 = tile * tr
+        pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs.at[s],
+                              in_sems.at[s, 0]).wait()
+        pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs.at[s],
+                              in_sems.at[s, 1]).wait()
+        pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us.at[s],
+                              in_sems.at[s, 2]).wait()
+
+    def out_dma(tile, s):
+        row0 = tile * tr
+        return pltpu.make_async_copy(
+            Os.at[s], out_hbm.at[pl.ds(row0 + G1, tr), :], out_sems.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        start_in(t, slot)
+
+    @pl.when(t + 1 < T)
+    def _():
+        start_in(t + 1, nxt)
+
+    wait_in(t, slot)
+
+    _color_sweep_body(Cs[slot], Bs[slot], Us.at[slot], omega, symmetric)
+
+    # the previous tile's out DMA used the other slot; ensure it drained
+    # before we reuse that slot next iteration — and before overwriting
+    # nothing now: our own slot's previous out (tile t-2) must be done.
+    @pl.when(t >= 2)
+    def _():
+        out_dma(t - 2, slot).wait()
+
+    Os[slot] = Us[slot, G1:G1 + tr, :]
+    out_dma(t, slot).start()
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(t, slot).wait()
+
+    if T >= 2:  # static grid size
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t - 1, nxt).wait()
 
 
 def pick_tile_rows(cols: int, itemsize: int = 4) -> int:
@@ -170,14 +245,16 @@ class PaddedStencil:
 
 def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
                     b_pad: jnp.ndarray, omega: float = 1.0,
-                    symmetric: bool = True,
-                    interpret: bool = False) -> jnp.ndarray:
+                    symmetric: bool = True, interpret: bool = False,
+                    double_buffer: bool = False) -> jnp.ndarray:
     """One fused symmetric four-color GS sweep on padded operands.
 
     Equivalent to gs4_sweep / gs4_sweep_masked on the real interior
     (sparse/stencil.py), but one kernel launch and ~one HBM round-trip.
     Rows outside [G1, G1 + n_tiles*tr) of the returned frame are copied
     through unchanged (they are zeros in a well-formed padded field).
+    ``double_buffer=True`` prefetches the next tile's operands during
+    compute (2x scratch; use a smaller tr).
     """
     tr = ps.tr
     rows, cols = ps.padded_shape
@@ -185,19 +262,33 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
     W = tr + 2 * G1
     dtype = u_pad.dtype
 
-    kernel = partial(_sweep_kernel, tr=tr, omega=omega, symmetric=symmetric)
+    if double_buffer:
+        kernel = partial(_sweep_kernel_db, tr=tr, omega=omega,
+                         symmetric=symmetric)
+        scratch = [
+            pltpu.VMEM((2, 9, W, cols), dtype),
+            pltpu.VMEM((2, W, cols), dtype),
+            pltpu.VMEM((2, W, cols), dtype),
+            pltpu.VMEM((2, tr, cols), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = partial(_sweep_kernel, tr=tr, omega=omega,
+                         symmetric=symmetric)
+        scratch = [
+            pltpu.VMEM((9, W, cols), dtype),
+            pltpu.VMEM((W, cols), dtype),
+            pltpu.VMEM((W, cols), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((9, W, cols), dtype),
-            pltpu.VMEM((W, cols), dtype),
-            pltpu.VMEM((W, cols), dtype),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        scratch_shapes=scratch,
         input_output_aliases={2: 0},  # u buffer donated to the output
         interpret=interpret,
     )(ps.c_pad, b_pad, u_pad)

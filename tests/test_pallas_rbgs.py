@@ -77,3 +77,19 @@ def test_masked_sweep_matches_strided():
     # identical updates up to fp reassociation of the 9-point accumulation
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12,
                                atol=1e-14)
+
+
+def test_fused_sweep_double_buffered_matches():
+    side = 33
+    S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
+                             dtype=jnp.float64)
+    rng = np.random.default_rng(5)
+    u0 = jnp.asarray(rng.standard_normal((side, side)))
+    b2 = jnp.asarray(rng.standard_normal((side, side)))
+    ref = gs4_sweep(S, u0, b2)
+    for tr in (8, 16):
+        ps = PaddedStencil.prepare(S, tr=tr, dtype=jnp.float64)
+        out = fused_gs4_sweep(ps, ps.pad_field(u0), ps.pad_field(b2),
+                              interpret=True, double_buffer=True)
+        np.testing.assert_allclose(np.asarray(ps.unpad_field(out)),
+                                   np.asarray(ref), rtol=1e-12, atol=1e-12)
