@@ -27,6 +27,24 @@ from amg_tpu.structured import (StencilHierarchy, build_stencil_hierarchy,
 from amg_tpu.utils.metrics import rss, rss_from_residual
 
 
+def __getattr__(name):
+    # Lazy heavyweight sub-APIs (avoid importing the distributed/krylov
+    # machinery unless used).
+    if name == "DistStructuredSolver":
+        from amg_tpu.parallel.structured_dist import DistStructuredSolver
+        return DistStructuredSolver
+    if name == "EllDistSolver":
+        from amg_tpu.parallel.ell_dist import EllDistSolver
+        return EllDistSolver
+    if name == "solve_pcg_stencil":
+        from amg_tpu.krylov import solve_pcg_stencil
+        return solve_pcg_stencil
+    if name == "StructuredSolver":
+        from amg_tpu.structured import StructuredSolver
+        return StructuredSolver
+    raise AttributeError(name)
+
+
 def enable_x64():
     """Enable f64 device numerics (required for the reference's 1e-9-scale
     tolerances; see SURVEY.md §7 design stance)."""
