@@ -30,25 +30,25 @@ def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
     Works on the negated (SPD) system; returns the solution of the original
     one. rss semantics match the reference metric (common.hpp:17-27).
     """
-    S0 = hier.levels[0]
+    # hierarchy passed as a jit argument (not closure-captured; see the
+    # HLO-constant-bloat note in structured.py)
+    def A_neg(h, x):  # SPD operator
+        return -h.levels[0].matvec2(x)
 
-    def A_neg(x):  # SPD operator
-        return -S0.matvec2(x)
-
-    def precond(r):
+    def precond(h, r):
         # z = (-A)^-1 r = -(A^-1 r); one V-cycle from zero approximates
         # A^-1 r, and the V-cycle operator is linear in its rhs, so the
         # negation keeps M SPD.
-        return -vcycle_stencil(hier, jnp.zeros_like(r), r)
+        return -vcycle_stencil(h, jnp.zeros_like(r), r)
 
     @jax.jit
-    def step(state):
+    def step(h, state):
         u, r, z, p, it = state
-        Ap = A_neg(p)
+        Ap = A_neg(h, p)
         alpha = jnp.vdot(r, z) / jnp.vdot(p, Ap)
         u = u + alpha * p
         r_new = r - alpha * Ap
-        z_new = precond(r_new)
+        z_new = precond(h, r_new)
         beta = jnp.vdot(r_new, z_new) / jnp.vdot(r, z)
         p = z_new + beta * p
         return (u, r_new, z_new, p, it + 1)
@@ -57,17 +57,21 @@ def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
     def residual_rss(state):
         return rss_from_residual(state[1])
 
+    @jax.jit
+    def init_state(h, b, u0_):
+        r0 = -b - A_neg(h, u0_)  # negated system rhs is -b
+        z0 = precond(h, r0)
+        return (u0_, r0, z0, z0, 0), rss_from_residual(r0)
+
     if u0 is None:
         u0 = jnp.zeros_like(b2)
-    r0 = -b2 - A_neg(u0)  # negated system rhs is -b
-    z0 = precond(r0)
-    state = (u0, r0, z0, z0, 0)
+    state, err0 = init_state(hier, b2, u0)
 
     it = 0
-    error = float(rss_from_residual(r0))
+    error = float(err0)
     history = [(0, error)]
     while it < n_iters and error > tolerance:
-        state = step(state)
+        state = step(hier, state)
         it += 1
         error = float(residual_rss(state))
         history.append((it, error))

@@ -204,12 +204,14 @@ def solve(hier: Hierarchy, smoother: SmootherBase, b: jnp.ndarray,
     if u0 is None:
         u0 = jnp.zeros(A0.n_rows, dtype=A0.dtype)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def cycle_chunk(u, k):
+    # hierarchy/b as jit arguments (closure capture would inline the level
+    # matrices as HLO constants — large compile-time cost)
+    @partial(jax.jit, static_argnums=(3,))
+    def cycle_chunk(h, u, bb, k):
         return jax.lax.fori_loop(
-            0, k, lambda _, uu: vcycle(hier, smoother, uu, b), u)
+            0, k, lambda _, uu: vcycle(h, smoother, uu, bb), u)
 
-    rss_j = jax.jit(lambda u: rss(A0, u, b))
+    rss_j = jax.jit(lambda A, u, bb: rss(A, u, bb))
 
     every = compute_error_every_n_iters
     it = 0
@@ -221,10 +223,10 @@ def solve(hier: Hierarchy, smoother: SmootherBase, b: jnp.ndarray,
             k = min(every - (it % every), n_iters - it)
         else:
             k = n_iters - it
-        u = cycle_chunk(u, k)
+        u = cycle_chunk(hier, u, b, k)
         it += k
         if every and it % every == 0:
-            error = float(rss_j(u))
+            error = float(rss_j(A0, u, b))
             history.append((it, error))
             if display_error:
                 print(f"Iter: {it} | Error: {error}")
@@ -284,8 +286,8 @@ class Multigrid:
         """One stateful V-cycle (updates per-level state like the
         reference's in-place version, multigrid.hpp:263-305)."""
         u0, (us, bs, rs) = jax.jit(
-            lambda u, b: vcycle(self.hierarchy, self.smoother, u, b,
-                                collect=True))(self._us[0], self.b)
+            lambda h, u, b: vcycle(h, self.smoother, u, b, collect=True)
+        )(self.hierarchy, self._us[0], self.b)
         self._us, self._bs, self._rs = list(us), list(bs), list(rs)
         return u0
 

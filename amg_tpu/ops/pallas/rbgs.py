@@ -197,6 +197,8 @@ def pick_tile_rows(cols: int, itemsize: int = 4) -> int:
     return 8
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["c_pad"], meta_fields=["side", "tr", "n_tiles"])
 @dataclasses.dataclass(frozen=True)
 class PaddedStencil:
     """Per-level padded operands + static geometry for the fused sweep."""

@@ -93,12 +93,12 @@ class SmootherBase:
 
         @partial(jax.jit, static_argnums=(2,))
         def sweep_chunk(state, u_b, k):
-            u, b = u_b
+            u, b_ = u_b
             u = jax.lax.fori_loop(
-                0, k, lambda _, uu: self.apply(state, uu, b), u)
+                0, k, lambda _, uu: self.apply(state, uu, b_), u)
             return u
 
-        rss_j = jax.jit(lambda u: rss(A, u, b))
+        rss_j = jax.jit(lambda A_, u, b_: rss(A_, u, b_))
 
         it = 0
         error = 100.0  # reference sentinel (smoother.hpp:193)
@@ -111,7 +111,7 @@ class SmootherBase:
             u = sweep_chunk(state, (u, b), k)
             it += k
             if every and it % every == 0:
-                error = float(rss_j(u))
+                error = float(rss_j(A, u, b))
                 history.append((it, error))
         converged = error <= tol
         if verbose and every:

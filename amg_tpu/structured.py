@@ -254,14 +254,18 @@ def solve_stencil(hier: StencilHierarchy, b2, u0=None, tolerance=1e-9,
     if u0 is None:
         u0 = jnp.zeros_like(b2)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def chunk(u, k):
+    # hierarchy/b pass as pytree ARGUMENTS: closure capture would embed
+    # every coefficient plane as an HLO constant (~20x module bloat,
+    # minutes of extra compile time at 1M dofs)
+    @partial(jax.jit, static_argnums=(3,))
+    def chunk(h, u, b, k):
         return jax.lax.fori_loop(
-            0, k, lambda _, uu: vcycle_stencil(hier, uu, b2, pre_sweeps,
+            0, k, lambda _, uu: vcycle_stencil(h, uu, b, pre_sweeps,
                                                post_sweeps, omega, symmetric),
             u)
 
-    rss_j = jax.jit(lambda u: rss_from_residual(b2 - S0.matvec2(u)))
+    rss_j = jax.jit(
+        lambda S, u, b: rss_from_residual(b - S.matvec2(u)))
 
     every = compute_error_every_n_iters
     it, error, u = 0, 100.0, u0
@@ -269,10 +273,10 @@ def solve_stencil(hier: StencilHierarchy, b2, u0=None, tolerance=1e-9,
     while it < n_iters and error > tolerance:
         k = (min(every - (it % every), n_iters - it) if every
              else n_iters - it)
-        u = chunk(u, k)
+        u = chunk(hier, u, b2, k)
         it += k
         if every and it % every == 0:
-            error = float(rss_j(u))
+            error = float(rss_j(S0, u, b2))
             history.append((it, error))
     return SolveResult(u=u, iterations=it, error=error,
                        converged=error <= tolerance, history=history)
@@ -293,13 +297,13 @@ def solve_ir(side: int, b2_f64, hier32: StencilHierarchy | None = None,
     A64 = build_fine_stencil_f64(side)
 
     @jax.jit
-    def residual64(u64):
-        return b2_f64 - A64.matvec2(u64)
+    def residual64(A, u64, b64):
+        return b64 - A.matvec2(u64)
 
     @jax.jit
-    def cycles32(e2, r32):
+    def cycles32(h, e2, r32):
         for _ in range(cycles_per_refine):
-            e2 = vcycle_stencil(hier32, e2, r32, **cycle_kw)
+            e2 = vcycle_stencil(h, e2, r32, **cycle_kw)
         return e2
 
     u = jnp.zeros_like(b2_f64)
@@ -307,12 +311,12 @@ def solve_ir(side: int, b2_f64, hier32: StencilHierarchy | None = None,
     it = 0
     error = 100.0
     for k in range(n_refine):
-        r = residual64(u)
+        r = residual64(A64, u, b2_f64)
         error = float(rss_from_residual(r))
         history.append((it, error))
         if error <= tolerance:
             break
-        e = cycles32(jnp.zeros(r.shape, dtype=jnp.float32),
+        e = cycles32(hier32, jnp.zeros(r.shape, dtype=jnp.float32),
                      r.astype(jnp.float32))
         u = u + e.astype(jnp.float64)
         it += cycles_per_refine
@@ -359,29 +363,30 @@ class StructuredSolver:
             A64 = Stencil2D.from_scipy(A_fine, side, dtype=jnp.float64)
         self._A64 = A64
         self.cycles_per_refine = cycles_per_refine
-        hier = self.hier
 
-        @jax.jit
-        def cycles32(e2, r32):
+        # NOTE: the hierarchy and A64 are jit ARGUMENTS, not closure
+        # captures — captured device arrays get inlined as HLO constants,
+        # bloating the module ~20x and stalling the compiler at 1M dofs.
+        def cycles32(h, e2, r32):
             for _ in range(cycles_per_refine):
-                e2 = vcycle_stencil(hier, e2, r32, pre_sweeps, post_sweeps,
+                e2 = vcycle_stencil(h, e2, r32, pre_sweeps, post_sweeps,
                                     omega, symmetric)
             return e2
 
         @jax.jit
-        def refine_step(u64, b64):
-            r = b64 - A64.matvec2(u64)
+        def refine_step(h, A, u64, b64):
+            r = b64 - A.matvec2(u64)
             err = rss_from_residual(r)
-            e = cycles32(jnp.zeros(r.shape, dtype=jnp.float32),
+            e = cycles32(h, jnp.zeros(r.shape, dtype=jnp.float32),
                          r.astype(jnp.float32))
             return u64 + e.astype(jnp.float64), err
 
         @jax.jit
-        def residual_rss(u64, b64):
-            return rss_from_residual(b64 - A64.matvec2(u64))
+        def residual_rss(A, u64, b64):
+            return rss_from_residual(b64 - A.matvec2(u64))
 
-        @partial(jax.jit, static_argnums=(2,))
-        def solve_loop(b64, tol, n_refine):
+        @partial(jax.jit, static_argnums=(4,))
+        def solve_loop(h, A, b64, tol, n_refine):
             """Whole defect-correction solve as ONE device program
             (lax.while_loop): no host round-trip per refinement step. The
             loop-carried error lags the iterate by one step (it is the rss
@@ -395,9 +400,9 @@ class StructuredSolver:
 
             def body(state):
                 u, _, it = state
-                r = b64 - A64.matvec2(u)
+                r = b64 - A.matvec2(u)
                 err = rss_from_residual(r)
-                e = cycles32(jnp.zeros(r.shape, dtype=jnp.float32),
+                e = cycles32(h, jnp.zeros(r.shape, dtype=jnp.float32),
                              r.astype(jnp.float32))
                 return u + e.astype(jnp.float64), err, it + 1
 
@@ -405,13 +410,22 @@ class StructuredSolver:
             init = (u0, jnp.asarray(jnp.inf, dtype=b64.dtype),
                     jnp.asarray(0, dtype=jnp.int32))
             u, _, it = jax.lax.while_loop(cond, body, init)
-            final_err = rss_from_residual(b64 - A64.matvec2(u))
+            final_err = rss_from_residual(b64 - A.matvec2(u))
             return u, final_err, it
 
-        self._cycles32 = cycles32
-        self._refine_step = refine_step
-        self._residual_rss = residual_rss
-        self._solve_loop = solve_loop
+        self._cycles32 = jax.jit(cycles32)
+        self._refine_step_j = refine_step
+        self._residual_rss_j = residual_rss
+        self._solve_loop_j = solve_loop
+
+    def _refine_step(self, u64, b64):
+        return self._refine_step_j(self.hier, self._A64, u64, b64)
+
+    def _residual_rss(self, u64, b64):
+        return self._residual_rss_j(self._A64, u64, b64)
+
+    def _solve_loop(self, b64, tol, n_refine):
+        return self._solve_loop_j(self.hier, self._A64, b64, tol, n_refine)
 
     def warmup(self):
         """Compile all programs (first call is slow on a cold cache)."""

@@ -1,0 +1,67 @@
+"""Scaling-efficiency harness (BASELINE target: >= 70% nnz/s efficiency at
+N >= 2 hosts, row-partitioned levels + halo exchange + agglomeration).
+
+Runs the distributed structured V-cycle at device counts 1..N on whatever
+mesh is available and reports per-device-count wall-clock and scaling
+efficiency vs the single-device run. On this round's hardware only one
+real chip exists (multi-chip numbers here come from the virtual CPU mesh
+and measure orchestration overhead, not ICI bandwidth); on a pod slice the
+same script produces the real scaling table.
+
+Usage: python benchmarks/scaling.py [side]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if os.environ.get("JAX_PLATFORMS") in ("cpu",):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from amg_tpu.models import poisson
+from amg_tpu.parallel.structured_dist import DistStructuredSolver
+
+
+def bench_devices(side: int, D: int, iters: int = 20) -> float:
+    dtype = (jnp.float32 if jax.devices()[0].platform != "cpu"
+             else jnp.float64)
+    solver = DistStructuredSolver(side, n_devices=D, dtype=dtype)
+    b2 = poisson.rhs(side, dtype=dtype).reshape(side, side)
+    b_pad = solver.pad_field(b2)
+    u = jnp.zeros_like(b_pad)
+    u = solver.vcycle(u, b_pad)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        u = solver.vcycle(u, b_pad)
+    jax.block_until_ready(u)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    side = int(sys.argv[1]) if len(sys.argv) > 1 else 255
+    avail = len(jax.devices())
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= avail]
+    t1 = None
+    rows = []
+    for D in counts:
+        t = bench_devices(side, D)
+        if t1 is None:
+            t1 = t
+        eff = t1 / (t * D)
+        rows.append(dict(n_devices=D, vcycle_ms=round(t * 1e3, 3),
+                         scaling_efficiency=round(eff, 3)))
+        print(json.dumps({"scenario": "scaling", "side": side, **rows[-1]}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,10 +79,11 @@ def large_multicolor():
     masks = hier.masks[0]
 
     @jax.jit
-    def run(u):
+    def run(S_, b_, m_, u):
         return jax.lax.fori_loop(
-            0, 50, lambda _, uu: gs4_sweep_masked(S, uu, b2, masks), u)
+            0, 50, lambda _, uu: gs4_sweep_masked(S_, uu, b_, m_), u)
 
+    run = partial_args = lambda u, _r=run: _r(S, b2, masks, u)
     u = run(jnp.zeros_like(b2))
     jax.block_until_ready(u)
     t0 = time.perf_counter()

@@ -26,12 +26,14 @@ INNER = 50  # amortize per-dispatch overhead (~1.4 ms through the tunnel)
 
 
 def loopit(step):
-    """step: u -> u. Returns jitted fn running INNER iterations."""
-    import functools
+    """step: (u, *ops) -> u. Returns jitted fn running INNER iterations.
+    Operands are jit ARGUMENTS — closure capture would embed them as HLO
+    constants (huge compile times; see amg_tpu/structured.py)."""
 
     @jax.jit
-    def run(u):
-        return jax.lax.fori_loop(0, INNER, lambda _, uu: step(uu), u)
+    def run(u, *ops):
+        return jax.lax.fori_loop(0, INNER,
+                                 lambda _, uu: step(uu, *ops), u)
 
     return run
 
@@ -56,35 +58,38 @@ def main():
     masks = color_masks(side, dtype)
     nnz = S.nnz
 
-    t = timeit(loopit(lambda u: S.matvec2(u)), u2)
+    t = timeit(loopit(lambda u, S_: S_.matvec2(u)), u2, S)
     print(f"matvec2       {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
 
     if os.environ.get("BENCH_STRIDED"):
         # pathological on TPU (lane-strided); kept for documentation
-        t = timeit(loopit(lambda u: gs4_sweep(S, u, b2, 1.0, True)), u2)
+        t = timeit(loopit(lambda u, S_, b_: gs4_sweep(S_, u, b_, 1.0, True)),
+                   u2, S, b2)
         print(f"gs4 strided   {t*1e3:8.3f} ms   "
               f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
 
-    t = timeit(loopit(lambda u: gs4_sweep_masked(S, u, b2, masks, 1.0, True)),
-               u2)
+    t = timeit(loopit(lambda u, S_, b_, m_: gs4_sweep_masked(
+        S_, u, b_, m_, 1.0, True)), u2, S, b2, masks)
     print(f"gs4 masked    {t*1e3:8.3f} ms   {2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
 
-    t = timeit(loopit(lambda u: jacobi_sweep(S, u, b2)), u2)
+    t = timeit(loopit(lambda u, S_, b_: jacobi_sweep(S_, u, b_)), u2, S, b2)
     print(f"jacobi        {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
 
-    # fused Pallas symmetric sweep
+    # fused Pallas symmetric sweep (single- and double-buffered)
     from amg_tpu.ops.pallas.rbgs import PaddedStencil, fused_gs4_sweep
 
-    for tr in (64, 128, 256):
+    for tr, db in ((64, False), (64, True), (32, True)):
         try:
             ps = PaddedStencil.prepare(S, tr=tr, dtype=dtype)
             bp = ps.pad_field(b2)
-            t = timeit(loopit(lambda u: fused_gs4_sweep(ps, u, bp)),
-                       ps.pad_field(u2))
-            print(f"gs4 fused({tr:3d}) {t*1e3:7.3f} ms   "
+            t = timeit(loopit(lambda u, ps_, b_: fused_gs4_sweep(
+                ps_, u, b_, double_buffer=db)), ps.pad_field(u2), ps, bp)
+            tag = "db" if db else "sb"
+            print(f"gs4 fused({tr:3d},{tag}) {t*1e3:7.3f} ms   "
                   f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
         except Exception as e:
-            print(f"gs4 fused({tr}) FAILED: {type(e).__name__}: {str(e)[:200]}")
+            print(f"gs4 fused({tr}) FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
 
     # memory roofline reference: one full-field axpy
     t = timeit(loopit(lambda u: u + 1.0), u2)
