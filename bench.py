@@ -18,8 +18,24 @@ Details go to stderr.
 """
 
 import json
+import os
 import sys
+import threading
 import time
+
+# Watchdog: the TPU tunnel can wedge on device init (hangs forever in
+# futex); abort with a message rather than hanging the driver.
+_WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "560"))
+
+
+def _watchdog():
+    time.sleep(_WATCHDOG_S)
+    print(f"bench watchdog: no result within {_WATCHDOG_S}s "
+          "(wedged TPU tunnel?); aborting", file=sys.stderr, flush=True)
+    os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 
