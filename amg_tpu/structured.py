@@ -244,6 +244,35 @@ def vcycle_stencil(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     return us[0]
 
 
+def cycle_stencil(hier: StencilHierarchy, u2, b2, gamma: int = 1,
+                  pre_sweeps: int = 1, post_sweeps: int = 1,
+                  omega: float = 1.0, symmetric: bool = True,
+                  _level: int = 0):
+    """Generalized multigrid cycle: gamma=1 is the V-cycle
+    (== vcycle_stencil, the reference's only cycle type,
+    multigrid.hpp:263-305), gamma=2 the W-cycle — the coarse problem is
+    visited gamma times per level, strengthening the cycle for harder
+    problems at ~2x coarse-level cost. Static recursion over the level
+    index (unrolls under jit)."""
+    l = _level
+    L = hier.n_levels
+    if l == L - 1:
+        nc = hier.sides[-1]
+        sol = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
+                                        b2.reshape(-1))
+        return sol.reshape(nc, nc)
+    S = hier.levels[l]
+    u2 = _smooth(hier, l, u2, b2, pre_sweeps, omega, symmetric)
+    r = b2 - S.matvec2(u2)
+    bc = restrict_mm(r, hier.P1s[l])
+    uc = jnp.zeros_like(bc)
+    for _ in range(gamma):
+        uc = cycle_stencil(hier, uc, bc, gamma, pre_sweeps, post_sweeps,
+                           omega, symmetric, _level=l + 1)
+    u2 = u2 + prolong_mm(uc, hier.P1s[l])
+    return _smooth(hier, l, u2, b2, post_sweeps, omega, symmetric)
+
+
 def solve_stencil(hier: StencilHierarchy, b2, u0=None, tolerance=1e-9,
                   compute_error_every_n_iters: int = 5, n_iters: int = 100,
                   pre_sweeps: int = 1, post_sweeps: int = 1,

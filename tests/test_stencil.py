@@ -207,3 +207,24 @@ def test_device_hierarchy_matches_host():
     r2 = solve_stencil(host, b2, tolerance=1e-9,
                        compute_error_every_n_iters=1)
     assert r1.converged and r1.iterations == r2.iterations
+
+
+def test_wcycle_matches_vcycle_semantics_and_converges():
+    """gamma=1 cycle == vcycle; gamma=2 (W-cycle) converges at least as
+    fast per iteration."""
+    from amg_tpu.structured import cycle_stencil
+
+    side = 31
+    hier = build_stencil_hierarchy(side, dtype=jnp.float64)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    u0 = jnp.zeros_like(b2)
+    v1 = vcycle_stencil(hier, u0, b2)
+    c1 = cycle_stencil(hier, u0, b2, gamma=1)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(c1), rtol=1e-14)
+
+    from amg_tpu.utils.metrics import rss_from_residual
+    S = hier.levels[0]
+    w1 = cycle_stencil(hier, u0, b2, gamma=2)
+    ev = float(rss_from_residual(b2 - S.matvec2(v1)))
+    ew = float(rss_from_residual(b2 - S.matvec2(w1)))
+    assert ew <= ev * 1.5  # W-cycle at least comparable per iteration
