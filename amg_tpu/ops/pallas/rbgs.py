@@ -188,11 +188,17 @@ def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
             out_dma(t - 1, nxt).wait()
 
 
-def pick_tile_rows(cols: int, itemsize: int = 4) -> int:
+def pick_tile_rows(cols: int, itemsize: int = 4,
+                   double_buffer: bool = False) -> int:
     """Largest even TR fitting VMEM: 11 scratch row-blocks (9 coeff planes
-    + b + u) plus ~12 compiler temporaries of one (W, cols) block each."""
+    + b + u; x2 when double-buffered) plus ~8 compiler temporaries of one
+    (W, cols) block each, plus the output staging slots."""
+    scratch_blocks = (22 if double_buffer else 11) + 8
     for tr in (256, 128, 64, 32, 16, 8):
-        if 23 * (tr + 2 * G1) * cols * itemsize <= VMEM_BUDGET:
+        total = scratch_blocks * (tr + 2 * G1) * cols * itemsize
+        if double_buffer:
+            total += 2 * tr * cols * itemsize
+        if total <= VMEM_BUDGET:
             return tr
     return 8
 
@@ -213,7 +219,8 @@ class PaddedStencil:
         return self.c_pad.shape[1:]
 
     @staticmethod
-    def prepare(S, tr: int | None = None, dtype=None) -> "PaddedStencil":
+    def prepare(S, tr: int | None = None, dtype=None,
+                double_buffer: bool = False) -> "PaddedStencil":
         """Pad a Stencil2D's coefficient planes into the kernel frame."""
         c = np.asarray(S.c)  # (3, 3, n, n)
         n = S.side
@@ -222,7 +229,8 @@ class PaddedStencil:
         cols = COL_PAD_LEFT + n
         cols = -(-cols // LANE) * LANE
         if tr is None:
-            tr = pick_tile_rows(cols, np.dtype(dtype).itemsize)
+            tr = pick_tile_rows(cols, np.dtype(dtype).itemsize,
+                                double_buffer)
         n_tiles = -(-n // tr)
         rows = G1 + n_tiles * tr + G1
         cp = np.zeros((9, rows, cols), dtype=dtype)
