@@ -1,0 +1,151 @@
+"""Double-float32 (df32) arithmetic — f64-grade residuals at f32 VPU speed.
+
+TPU v5e has no f64 hardware; XLA emulates it in software at ~100x the f32
+cost, which makes the f64 defect-correction residual the dominant cost of
+the mixed-precision solve (structured.StructuredSolver). A df32 number is
+an unevaluated pair ``hi + lo`` of f32 with ``|lo| <= ulp(hi)/2``, giving a
+~48-bit significand (relative eps ~ 3.6e-15) — enough for the reference's
+1e-9-scale rss tolerances (common.hpp:17-27) — while every operation is a
+handful of native f32 VPU flops.
+
+Classic error-free transformations (Dekker 1971, Knuth TwoSum); no fma is
+assumed (Pallas/XLA expose none portably), so TwoProd uses Veltkamp
+splitting. XLA does not re-associate floating point by default, so the
+cancellation tricks below survive compilation; do NOT enable fast-math-like
+flags around this module.
+
+Used by ``df_residual`` to compute ``r = b - A u`` on a Stencil2D level
+(sparse/stencil.py) in df32: the TPU-native replacement for the reference's
+f64 Eigen residual (multigrid.hpp:272-274) inside iterative refinement.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_SPLIT = 4097.0  # 2^12 + 1: Veltkamp split factor for the 24-bit f32 mantissa
+
+
+def two_sum(a, b):
+    """s + e = a + b exactly (Knuth), no magnitude ordering assumed."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def quick_two_sum(a, b):
+    """s + e = a + b exactly, assuming |a| >= |b| (Dekker fast path)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def split_f32(a):
+    """Veltkamp split: a = hi + lo with 12-bit halves (exact f32 products)."""
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """p + e = a * b exactly (Dekker TwoProd via Veltkamp splitting)."""
+    p = a * b
+    ah, al = split_f32(a)
+    bh, bl = split_f32(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+@partial(jax.tree_util.register_dataclass, data_fields=["hi", "lo"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class DF32:
+    """A double-float32 array: value = hi + lo elementwise."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    @staticmethod
+    def from_f64(x64) -> "DF32":
+        hi = x64.astype(jnp.float32)
+        lo = (x64 - hi.astype(x64.dtype)).astype(jnp.float32)
+        return DF32(hi=hi, lo=lo)
+
+    @staticmethod
+    def from_f32(x32) -> "DF32":
+        return DF32(hi=x32, lo=jnp.zeros_like(x32))
+
+    def to_f64(self):
+        return self.hi.astype(jnp.float64) + self.lo.astype(jnp.float64)
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+
+def df_add(a: DF32, b: DF32) -> DF32:
+    """a + b with full double-float renormalization."""
+    s, e = two_sum(a.hi, b.hi)
+    e = e + a.lo + b.lo
+    hi, lo = quick_two_sum(s, e)
+    return DF32(hi=hi, lo=lo)
+
+
+def df_add_f32(a: DF32, x) -> DF32:
+    """a + x for plain-f32 x (e.g. a V-cycle correction)."""
+    s, e = two_sum(a.hi, x)
+    hi, lo = quick_two_sum(s, e + a.lo)
+    return DF32(hi=hi, lo=lo)
+
+
+def df_neg(a: DF32) -> DF32:
+    return DF32(hi=-a.hi, lo=-a.lo)
+
+
+def df_mul(a: DF32, b: DF32) -> DF32:
+    """a * b (dropping the negligible lo*lo term)."""
+    p, e = two_prod(a.hi, b.hi)
+    e = e + a.hi * b.lo + a.lo * b.hi
+    hi, lo = quick_two_sum(p, e)
+    return DF32(hi=hi, lo=lo)
+
+
+def df_residual(c_df: DF32, b_df: DF32, u_df: DF32) -> DF32:
+    """r = b - A u on an n x n field in df32, for a 9-point stencil level
+    with df32 coefficient planes ``c_df`` (shape (3,3,n,n) each).
+
+    Same shifted-slice structure as Stencil2D.matvec2 (sparse/stencil.py)
+    but every multiply is a TwoProd and every accumulate a TwoSum — ~10x
+    the f32 flops of a plain matvec, which on TPU is still ~10x FASTER than
+    the software-emulated f64 matvec it replaces. Accuracy: componentwise
+    ~2^-48 relative to the largest intermediate term, i.e. rss noise floor
+    ~1e-12 for the 1M-dof Poisson case (vs 1e-7 tolerances).
+    """
+    n = u_df.hi.shape[0]
+    pad = lambda x: jnp.pad(x, 1)
+    uh, ul = pad(u_df.hi), pad(u_df.lo)
+    acc = DF32.from_f32(jnp.zeros_like(u_df.hi))
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            ch = c_df.hi[dj + 1, di + 1]
+            cl = c_df.lo[dj + 1, di + 1]
+            sl = lambda z: jax.lax.slice(z, (1 + dj, 1 + di),
+                                         (1 + dj + n, 1 + di + n))
+            term = df_mul(DF32(hi=ch, lo=cl), DF32(hi=sl(uh), lo=sl(ul)))
+            acc = df_add(acc, term)
+    return df_add(b_df, df_neg(acc))
+
+
+def df_rss(r_df: DF32):
+    """Residual sum of squares of a df32 residual, accumulated in f64.
+
+    The per-entry squares are tiny near convergence; only the reduction
+    runs in (emulated) f64 adds — negligible next to a matvec.
+    """
+    r64 = r_df.to_f64()
+    return jnp.sum(r64 * r64)

@@ -273,6 +273,36 @@ def cycle_stencil(hier: StencilHierarchy, u2, b2, gamma: int = 1,
     return _smooth(hier, l, u2, b2, post_sweeps, omega, symmetric)
 
 
+def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
+                pre_sweeps: int = 1, post_sweeps: int = 1,
+                omega: float = 1.0, symmetric: bool = True,
+                gamma: int = 1):
+    """Full multigrid (nested iteration): restrict the RHS down the whole
+    hierarchy, solve the coarsest level directly, then interpolate the
+    *solution* up level by level, running ``cycles_per_level`` cycles at
+    each level on the way.
+
+    One FMG pass costs ~1.5x a single V-cycle but yields an initial guess
+    already accurate to discretization order — the classic O(N) multigrid
+    start. The reference only solves from a zero guess
+    (multigrid.hpp:311-337); this is the TPU build's fast-start extension,
+    used by ``StructuredSolver`` to cut defect-correction steps.
+    """
+    L = hier.n_levels
+    bs = [b2]
+    for l in range(L - 1):
+        bs.append(restrict_mm(bs[l], hier.P1s[l]))
+    nc = hier.sides[-1]
+    u = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
+                                  bs[-1].reshape(-1)).reshape(nc, nc)
+    for l in range(L - 2, -1, -1):
+        u = prolong_mm(u, hier.P1s[l])
+        for _ in range(cycles_per_level):
+            u = cycle_stencil(hier, u, bs[l], gamma, pre_sweeps,
+                              post_sweeps, omega, symmetric, _level=l)
+    return u
+
+
 def solve_stencil(hier: StencilHierarchy, b2, u0=None, tolerance=1e-9,
                   compute_error_every_n_iters: int = 5, n_iters: int = 100,
                   pre_sweeps: int = 1, post_sweeps: int = 1,
@@ -373,7 +403,8 @@ class StructuredSolver:
                  smoother: str = "masked", pre_sweeps: int = 1,
                  post_sweeps: int = 1, omega: float = 1.0,
                  symmetric: bool = True, cycles_per_refine: int = 2,
-                 A_fine=None, device_setup: bool | None = None):
+                 A_fine=None, device_setup: bool | None = None,
+                 fmg: bool = True, precision: str = "df32"):
         from amg_tpu.ops.rap import poisson_planes
 
         self.side = side
@@ -415,7 +446,7 @@ class StructuredSolver:
             return rss_from_residual(b64 - A.matvec2(u64))
 
         @partial(jax.jit, static_argnums=(4,))
-        def solve_loop(h, A, b64, tol, n_refine):
+        def solve_loop_f64(h, A, b64, tol, n_refine):
             """Whole defect-correction solve as ONE device program
             (lax.while_loop): no host round-trip per refinement step. The
             loop-carried error lags the iterate by one step (it is the rss
@@ -435,17 +466,76 @@ class StructuredSolver:
                              r.astype(jnp.float32))
                 return u + e.astype(jnp.float64), err, it + 1
 
-            u0 = jnp.zeros_like(b64)
+            if fmg:
+                # nested-iteration start: one f32 FMG pass (~1.5 V-cycles)
+                # lands within discretization accuracy, cutting the number
+                # of defect-correction steps roughly in half vs u0 = 0
+                u0 = fmg_stencil(h, b64.astype(jnp.float32), 1, pre_sweeps,
+                                 post_sweeps, omega,
+                                 symmetric).astype(jnp.float64)
+            else:
+                u0 = jnp.zeros_like(b64)
             init = (u0, jnp.asarray(jnp.inf, dtype=b64.dtype),
                     jnp.asarray(0, dtype=jnp.int32))
             u, _, it = jax.lax.while_loop(cond, body, init)
             final_err = rss_from_residual(b64 - A.matvec2(u))
-            return u, final_err, it
+            # err and iteration count packed into ONE device array: each
+            # separate scalar fetch costs a full host<->device round trip
+            # (~25 ms through a remote-TPU tunnel)
+            return u, jnp.stack([final_err, it.astype(jnp.float64)])
+
+        @partial(jax.jit, static_argnums=(4,))
+        def solve_loop_df32(h, A_c_df, b64, tol, n_refine):
+            """Defect-correction solve with the f64 residual replaced by
+            double-float32 arithmetic (ops/doublefloat.py): TPU v5e has no
+            f64 hardware, so the emulated-f64 residual matvec dominated the
+            f64 loop (~85% of solve wall); the df32 residual gives ~2^-48
+            relative accuracy at plain-VPU f32 speed. Same lagged-error
+            loop shape as solve_loop_f64."""
+            from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
+                                                 df_residual, df_rss)
+
+            b_df = DF32.from_f64(b64)
+
+            def cond(state):
+                u, err, it = state
+                return (err > tol) & (it < n_refine)
+
+            def body(state):
+                u, _, it = state
+                r = df_residual(A_c_df, b_df, u)
+                err = df_rss(r)
+                e = cycles32(h, jnp.zeros_like(r.hi), r.hi)
+                return df_add_f32(u, e), err, it + 1
+
+            if fmg:
+                u0 = DF32.from_f32(
+                    fmg_stencil(h, b_df.hi, 1, pre_sweeps, post_sweeps,
+                                omega, symmetric))
+            else:
+                u0 = DF32.from_f32(jnp.zeros_like(b_df.hi))
+            init = (u0, jnp.asarray(jnp.inf, dtype=jnp.float64),
+                    jnp.asarray(0, dtype=jnp.int32))
+            u, _, it = jax.lax.while_loop(cond, body, init)
+            final_err = df_rss(df_residual(A_c_df, b_df, u))
+            return u.to_f64(), jnp.stack([final_err,
+                                          it.astype(jnp.float64)])
 
         self._cycles32 = jax.jit(cycles32)
         self._refine_step_j = refine_step
         self._residual_rss_j = residual_rss
-        self._solve_loop_j = solve_loop
+        if precision == "df32":
+            from amg_tpu.ops.doublefloat import DF32
+
+            self._A_df = DF32.from_f64(A64.c)
+            self._solve_loop_j = solve_loop_df32
+        elif precision == "f64":
+            self._A_df = None
+            self._solve_loop_j = solve_loop_f64
+        else:
+            raise ValueError(f"unknown precision {precision!r}; "
+                             "expected 'df32' or 'f64'")
+        self.precision = precision
 
     def _refine_step(self, u64, b64):
         return self._refine_step_j(self.hier, self._A64, u64, b64)
@@ -454,22 +544,37 @@ class StructuredSolver:
         return self._residual_rss_j(self._A64, u64, b64)
 
     def _solve_loop(self, b64, tol, n_refine):
-        return self._solve_loop_j(self.hier, self._A64, b64, tol, n_refine)
+        A = self._A_df if self.precision == "df32" else self._A64
+        return self._solve_loop_j(self.hier, A, b64, tol, n_refine)
 
     def warmup(self):
         """Compile all programs (first call is slow on a cold cache)."""
         z64 = jnp.zeros((self.side, self.side), dtype=jnp.float64)
         u, _ = self._refine_step(z64, z64)
         jax.block_until_ready(u)
-        u, _, _ = self._solve_loop(z64, 1e-7, 40)
+        u, _ = self._solve_loop(z64, 1e-7, 40)
         jax.block_until_ready(u)
+
+    def solve_ir_device(self, b2_f64, tolerance: float = 1e-7,
+                        n_refine: int = 40):
+        """Device-only solve: one dispatch, NO host synchronization.
+
+        Returns ``(u, stats)`` device arrays where ``stats = [final_rss,
+        n_refine_steps]``. Convergence control runs entirely on device
+        (lax.while_loop); use this form to pipeline solves or to time the
+        device program without paying scalar-fetch round trips (~25 ms each
+        through a remote-TPU tunnel).
+        """
+        return self._solve_loop(b2_f64, tolerance, n_refine)
 
     def solve_ir_fused(self, b2_f64, tolerance: float = 1e-7,
                        n_refine: int = 40) -> SolveResult:
-        """One-dispatch device-resident solve (see solve_loop)."""
-        u, err, it = self._solve_loop(b2_f64, tolerance, n_refine)
-        error = float(err)
-        iters = int(it) * self.cycles_per_refine
+        """One-dispatch device-resident solve + a single packed stats fetch
+        (see solve_loop_*)."""
+        u, stats = self._solve_loop(b2_f64, tolerance, n_refine)
+        err_v, it_v = np.asarray(stats)  # ONE host round trip
+        error = float(err_v)
+        iters = int(it_v) * self.cycles_per_refine
         return SolveResult(u=u, iterations=iters, error=error,
                            converged=error <= tolerance,
                            history=[(iters, error)])

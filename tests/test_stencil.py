@@ -228,3 +228,35 @@ def test_wcycle_matches_vcycle_semantics_and_converges():
     ev = float(rss_from_residual(b2 - S.matvec2(v1)))
     ew = float(rss_from_residual(b2 - S.matvec2(w1)))
     assert ew <= ev * 1.5  # W-cycle at least comparable per iteration
+
+
+def test_fmg_start_discretization_accurate():
+    """One FMG pass lands far closer than a zero guess + one V-cycle."""
+    from amg_tpu.structured import fmg_stencil
+    from amg_tpu.utils.metrics import rss_from_residual
+
+    side = 63
+    hier = build_stencil_hierarchy(side, dtype=jnp.float64)
+    b2 = poisson.rhs(side).reshape(side, side)
+    u_fmg = fmg_stencil(hier, b2)
+    rss_fmg = float(rss_from_residual(b2 - hier.levels[0].matvec2(u_fmg)))
+    u_v = vcycle_stencil(hier, jnp.zeros_like(b2), b2)
+    rss_v = float(rss_from_residual(b2 - hier.levels[0].matvec2(u_v)))
+    assert rss_fmg < rss_v / 5
+
+
+def test_fmg_solver_converges_fewer_refines():
+    from amg_tpu.structured import StructuredSolver
+
+    side = 31
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s_fmg = StructuredSolver(side, fmg=True)
+    s_zero = StructuredSolver(side, fmg=False)
+    r1 = s_fmg.solve_ir_fused(b2, tolerance=1e-9)
+    r0 = s_zero.solve_ir_fused(b2, tolerance=1e-9)
+    assert r1.converged and r0.converged
+    assert r1.iterations <= r0.iterations
+    A = poisson.laplacian_scipy(side)
+    u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
+    np.testing.assert_allclose(np.asarray(r1.u).reshape(-1), u_direct,
+                               rtol=0, atol=1e-7)
