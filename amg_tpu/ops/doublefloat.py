@@ -72,6 +72,13 @@ class DF32:
 
     @staticmethod
     def from_f64(x64) -> "DF32":
+        if x64.dtype != jnp.float64:
+            # Without jax_enable_x64 the "f64" input is silently f32 and lo
+            # collapses to zero — the solver would run plain f32 masquerading
+            # as df32 and stall above tolerance with no error raised.
+            raise ValueError(
+                f"DF32.from_f64 requires a float64 input, got {x64.dtype}; "
+                "enable jax_enable_x64 (or use DF32.from_f32 deliberately)")
         hi = x64.astype(jnp.float32)
         lo = (x64 - hi.astype(x64.dtype)).astype(jnp.float32)
         return DF32(hi=hi, lo=lo)
@@ -144,8 +151,10 @@ def df_residual(c_df: DF32, b_df: DF32, u_df: DF32) -> DF32:
 def df_rss(r_df: DF32):
     """Residual sum of squares of a df32 residual, accumulated in f64.
 
-    The per-entry squares are tiny near convergence; only the reduction
-    runs in (emulated) f64 adds — negligible next to a matvec.
+    The elementwise squares run as df32 TwoProds (plain f32 VPU work);
+    only the two final reductions run in (emulated) f64 adds — negligible
+    next to a matvec.
     """
-    r64 = r_df.to_f64()
-    return jnp.sum(r64 * r64)
+    sq = df_mul(r_df, r_df)
+    return jnp.sum(sq.hi.astype(jnp.float64)) + jnp.sum(
+        sq.lo.astype(jnp.float64))

@@ -570,7 +570,13 @@ class StructuredSolver:
     def solve_ir_fused(self, b2_f64, tolerance: float = 1e-7,
                        n_refine: int = 40) -> SolveResult:
         """One-dispatch device-resident solve + a single packed stats fetch
-        (see solve_loop_*)."""
+        (see solve_loop_*).
+
+        ``iterations`` counts refinement-loop V-cycles only; the FMG start
+        pass (``fmg=True``, ~1.5 V-cycle-equivalents) is excluded, and
+        ``history`` holds the single final (iterations, rss) point since the
+        loop never synchronizes with the host.
+        """
         u, stats = self._solve_loop(b2_f64, tolerance, n_refine)
         err_v, it_v = np.asarray(stats)  # ONE host round trip
         error = float(err_v)

@@ -39,16 +39,25 @@ def test_df32_roundtrip_and_ops():
     x, y = DF32.from_f64(x64), DF32.from_f64(y64)
     np.testing.assert_allclose(np.asarray(x.to_f64()), np.asarray(x64),
                                rtol=0, atol=1e-14)
+    # Additions must be bounded ABSOLUTELY: when x + y cancels, the df32
+    # input representation error (~2^-49 |x|) dominates and no relative
+    # bound holds for any implementation. df_add's own error is ~2^-46 of
+    # the operand magnitude; combined with the input rounding, bound the
+    # error elementwise by 2^-45 * max(|x|, |y|).
+    add_tol = 2.0 ** -45 * np.maximum(np.abs(np.asarray(x64)),
+                                      np.abs(np.asarray(y64)))
     s = jax.jit(df_add)(x, y)
-    np.testing.assert_allclose(np.asarray(s.to_f64()),
-                               np.asarray(x64 + y64), rtol=3e-14, atol=0)
+    err = np.abs(np.asarray(s.to_f64()) - np.asarray(x64 + y64))
+    assert np.all(err <= add_tol), float((err / add_tol).max())
+    # Products preserve relative error (no cancellation), so a relative
+    # bound is valid: ~2^-46 from df_mul plus ~2^-48 input rounding.
     p = jax.jit(df_mul)(x, y)
     np.testing.assert_allclose(np.asarray(p.to_f64()),
                                np.asarray(x64 * y64), rtol=3e-14, atol=0)
     z = jax.jit(df_add_f32)(x, y.hi)
-    np.testing.assert_allclose(
-        np.asarray(z.to_f64()),
-        np.asarray(x64 + y.hi.astype(jnp.float64)), rtol=3e-14, atol=0)
+    err = np.abs(np.asarray(z.to_f64())
+                 - np.asarray(x64 + y.hi.astype(jnp.float64)))
+    assert np.all(err <= add_tol), float((err / add_tol).max())
 
 
 def test_df_residual_matches_f64():
