@@ -90,9 +90,41 @@ def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
     Us[:] = jax.lax.fori_loop(0, n_steps, step, Us[:])
 
 
-def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
-                  tr: int, omega: float, symmetric: bool):
-    """Single-buffered variant: DMA in, compute, DMA out, per tile."""
+def _copy_margins(u_hbm, out_hbm, sems, t, n_tiles: int, rows: int):
+    """Pass the G1-row top/bottom frame margins through to the output.
+
+    The output buffer no longer aliases the input (see fused_gs4_sweep), so
+    the margin rows — which no tile's interior write covers — must be copied
+    explicitly or they would be uninitialized. They are zeros in any
+    well-formed padded field; copy them verbatim from the input.
+    """
+    @pl.when(t == 0)
+    def _():
+        dma = pltpu.make_async_copy(u_hbm.at[pl.ds(0, G1), :],
+                                    out_hbm.at[pl.ds(0, G1), :],
+                                    sems.at[0])
+        dma.start()
+        dma.wait()
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        dma = pltpu.make_async_copy(u_hbm.at[pl.ds(rows - G1, G1), :],
+                                    out_hbm.at[pl.ds(rows - G1, G1), :],
+                                    sems.at[1])
+        dma.start()
+        dma.wait()
+
+
+def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems,
+                  margin_sems, *, tr: int, omega: float, symmetric: bool,
+                  n_tiles: int, rows: int):
+    """Single-buffered variant: DMA in, compute, DMA out, per tile.
+
+    The u ghost rows are always read from the pristine INPUT buffer (the
+    output is a distinct allocation), so tile t's lower ghost reads can
+    never observe tile t-1's post-sweep writes — the ghost-zone-blocking
+    precondition that made the round-1 aliased version wrong on hardware.
+    """
     t = pl.program_id(0)
     row0 = t * tr
     W = tr + 2 * G1
@@ -106,6 +138,7 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
     cp_c.start()
     cp_b.start()
     cp_u.start()
+    _copy_margins(u_hbm, out_hbm, margin_sems, t, n_tiles, rows)
     cp_c.wait()
     cp_b.wait()
     cp_u.wait()
@@ -120,12 +153,17 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems, *,
 
 
 def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
-                     in_sems, out_sems, *, tr: int, omega: float,
-                     symmetric: bool):
+                     in_sems, out_sems, margin_sems, *, tr: int,
+                     omega: float, symmetric: bool, n_tiles: int,
+                     rows: int):
     """Double-buffered variant: while tile t computes from slot t%2, the
     tile t+1 operand DMAs stream into slot (t+1)%2, and tile t's result
     streams out of its own output slot — DMA latency hides behind the 8
-    color steps. Scratch persists across the (sequential) TPU grid."""
+    color steps. Scratch persists across the (sequential) TPU grid.
+
+    Safe without aliasing: input DMAs read u_hbm (pristine), output DMAs
+    write out_hbm (a distinct buffer), so overlapping tile t+1's input
+    stream with tile t's output stream cannot race."""
     t = pl.program_id(0)
     T = pl.num_programs(0)
     W = tr + 2 * G1
@@ -163,6 +201,8 @@ def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
     @pl.when(t + 1 < T)
     def _():
         start_in(t + 1, nxt)
+
+    _copy_margins(u_hbm, out_hbm, margin_sems, t, n_tiles, rows)
 
     wait_in(t, slot)
 
@@ -274,7 +314,7 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
 
     if double_buffer:
         kernel = partial(_sweep_kernel_db, tr=tr, omega=omega,
-                         symmetric=symmetric)
+                         symmetric=symmetric, n_tiles=nt, rows=rows)
         scratch = [
             pltpu.VMEM((2, 9, W, cols), dtype),
             pltpu.VMEM((2, W, cols), dtype),
@@ -282,24 +322,30 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
             pltpu.VMEM((2, tr, cols), dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kernel = partial(_sweep_kernel, tr=tr, omega=omega,
-                         symmetric=symmetric)
+                         symmetric=symmetric, n_tiles=nt, rows=rows)
         scratch = [
             pltpu.VMEM((9, W, cols), dtype),
             pltpu.VMEM((W, cols), dtype),
             pltpu.VMEM((W, cols), dtype),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
+    # NO input_output_aliases: the output must be a distinct buffer so each
+    # tile's ghost rows are read from the PRISTINE pre-sweep input. Round 1
+    # donated u to the output, and tile t's lower-ghost DMA then observed
+    # tile t-1's post-sweep writes — wrong results on real TPU (fine in
+    # interpret mode, whose grid steps see snapshotted buffers).
     out = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
         scratch_shapes=scratch,
-        input_output_aliases={2: 0},  # u buffer donated to the output
         interpret=interpret,
     )(ps.c_pad, b_pad, u_pad)
     return out

@@ -75,20 +75,35 @@ def main():
     t = timeit(loopit(lambda u, S_, b_: jacobi_sweep(S_, u, b_)), u2, S, b2)
     print(f"jacobi        {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
 
-    # fused Pallas symmetric sweep (single- and double-buffered)
+    # fused Pallas symmetric sweep (single- and double-buffered).
+    # COMPILED-MODE PARITY GATE: interpret-mode tests cannot catch
+    # hardware DMA-ordering bugs (round-1 lesson), so every timed variant
+    # is first checked against the masked XLA sweep ON THIS BACKEND.
     from amg_tpu.ops.pallas.rbgs import PaddedStencil, fused_gs4_sweep
 
-    for tr, db in ((64, False), (64, True), (32, True)):
+    rng = np.random.default_rng(0)
+    uc = jnp.asarray(rng.standard_normal((side, side)), dtype=dtype)
+    ref_sweep = np.asarray(jax.jit(gs4_sweep_masked)(S, uc, b2, masks))
+
+    for tr, db in ((None, False), (None, True), (64, True)):
         try:
-            ps = PaddedStencil.prepare(S, tr=tr, dtype=dtype)
+            ps = PaddedStencil.prepare(S, tr=tr, dtype=dtype,
+                                       double_buffer=db)
             bp = ps.pad_field(b2)
+            got = np.asarray(ps.unpad_field(fused_gs4_sweep(
+                ps, ps.pad_field(uc), bp, double_buffer=db)))
+            maxdiff = float(np.abs(got - ref_sweep).max())
+            assert maxdiff < 5e-5, (
+                f"fused(tr={ps.tr},db={db}) WRONG on this backend: "
+                f"maxdiff={maxdiff:.3e}")
             t = timeit(loopit(lambda u, ps_, b_: fused_gs4_sweep(
                 ps_, u, b_, double_buffer=db)), ps.pad_field(u2), ps, bp)
             tag = "db" if db else "sb"
-            print(f"gs4 fused({tr:3d},{tag}) {t*1e3:7.3f} ms   "
-                  f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
+            print(f"gs4 fused({ps.tr:3d},{tag}) {t*1e3:7.3f} ms   "
+                  f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)  "
+                  f"parity={maxdiff:.1e}")
         except Exception as e:
-            print(f"gs4 fused({tr}) FAILED: {type(e).__name__}: "
+            print(f"gs4 fused({tr},db={db}) FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}")
 
     # memory roofline reference: one full-field axpy
