@@ -148,13 +148,15 @@ def df_residual(c_df: DF32, b_df: DF32, u_df: DF32) -> DF32:
     return df_add(b_df, df_neg(acc))
 
 
-def df_rss(r_df: DF32):
+def df_rss(r_df: DF32, dtype=None):
     """Residual sum of squares of a df32 residual, accumulated in f64.
 
     The elementwise squares run as df32 TwoProds (plain f32 VPU work);
     only the two final reductions run in (emulated) f64 adds — negligible
-    next to a matvec.
+    next to a matvec. Falls back to f32 accumulation when x64 is disabled
+    (e.g. the multichip dryrun environment).
     """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     sq = df_mul(r_df, r_df)
-    return jnp.sum(sq.hi.astype(jnp.float64)) + jnp.sum(
-        sq.lo.astype(jnp.float64))
+    return jnp.sum(sq.hi.astype(dtype)) + jnp.sum(sq.lo.astype(dtype))

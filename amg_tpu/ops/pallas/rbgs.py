@@ -59,6 +59,54 @@ def _roll2(x, dj: int, di: int):
     return x
 
 
+def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
+                            row0, side: int, w33):
+    """Constant-stencil color steps: weights are Python floats (immediate
+    constants — zero coefficient traffic), and a validity mask supplies the
+    zero-padding boundary semantics that the variable path encodes via
+    identity-diagonal padding planes. Zero weights (e.g. the 5-point fine
+    level's corners) drop their rolls at trace time."""
+    W, M = B.shape
+    inv_diag = 1.0 / w33[1][1]
+
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + row0
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
+    # real row = row_g - G1, real col = col_g - COL_PAD_LEFT; both offsets
+    # even, so local parity == real parity.
+    valid = ((row_g >= G1) & (row_g < G1 + side)
+             & (col_g >= COL_PAD_LEFT) & (col_g < COL_PAD_LEFT + side))
+    row_par = row_g % 2
+    col_par = col_g % 2
+
+    n_steps = 8 if symmetric else 4
+
+    # One color step per fori_loop iteration (color from index arithmetic;
+    # measured faster than static unrolling on v5e). Zero weights — e.g.
+    # the 5-point fine level's corners — drop their rolls at trace time.
+    def step(s, U):
+        idx = jnp.where(s < 4, s, 7 - s)
+        pj = idx // 2
+        pi = idx % 2
+        acc = jnp.zeros_like(U)
+        for di in (-1, 0, 1):
+            if all(w33[dj + 1][di + 1] == 0.0
+                   for dj in (-1, 0, 1) if (dj, di) != (0, 0)):
+                continue
+            Ui = _roll2(U, 0, di) if di else U  # one lane roll per column
+            for dj in (-1, 0, 1):
+                if dj == 0 and di == 0:
+                    continue
+                w = w33[dj + 1][di + 1]
+                if w == 0.0:
+                    continue
+                acc = acc + w * (_roll2(Ui, dj, 0) if dj else Ui)
+        delta = (B - acc) * inv_diag - U
+        mask = (row_par == pj) & (col_par == pi) & valid
+        return U + jnp.where(mask, omega * delta, 0.0)
+
+    Us[:] = jax.lax.fori_loop(0, n_steps, step, Us[:])
+
+
 def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
     """Shared compute: run the color steps in place on the U scratch."""
     M = B.shape[1]
@@ -152,6 +200,96 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems,
     cp_out.wait()
 
 
+def _sweep_kernel_const(b_hbm, u_hbm, out_hbm, Bs, Us, sems, margin_sems, *,
+                        tr: int, omega: float, symmetric: bool,
+                        n_tiles: int, rows: int, side: int, w33):
+    """Constant-stencil single-buffered tile loop: DMA in u+b (the only
+    operand traffic — ~6x less than the variable path), run the 8 color
+    steps in VMEM, DMA the interior out."""
+    t = pl.program_id(0)
+    row0 = t * tr
+    W = tr + 2 * G1
+
+    cp_b = pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs,
+                                 sems.at[0])
+    cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us,
+                                 sems.at[1])
+    cp_b.start()
+    cp_u.start()
+    _copy_margins(u_hbm, out_hbm, margin_sems, t, n_tiles, rows)
+    cp_b.wait()
+    cp_u.wait()
+
+    _color_sweep_body_const(Bs[:], Us, omega, symmetric, row0, side, w33)
+
+    cp_out = pltpu.make_async_copy(Us.at[G1:G1 + tr, :],
+                                   out_hbm.at[pl.ds(row0 + G1, tr), :],
+                                   sems.at[2])
+    cp_out.start()
+    cp_out.wait()
+
+
+def _sweep_kernel_const_db(b_hbm, u_hbm, out_hbm, Bs, Us, Os, in_sems,
+                           out_sems, margin_sems, *, tr: int, omega: float,
+                           symmetric: bool, n_tiles: int, rows: int,
+                           side: int, w33):
+    """Constant-stencil double-buffered variant: tile t+1's u+b stream in
+    while tile t's color steps run; tile t's interior streams out of its
+    own slot. Scratch persists across the sequential TPU grid."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    W = tr + 2 * G1
+    two = jnp.asarray(2, dtype=jnp.asarray(t).dtype)
+    slot = jax.lax.rem(t, two)
+    nxt = jax.lax.rem(t + 1, two)
+
+    def in_dmas(tile, s):
+        row0 = tile * tr
+        return (pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :],
+                                      Bs.at[s], in_sems.at[s, 0]),
+                pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :],
+                                      Us.at[s], in_sems.at[s, 1]))
+
+    def out_dma(tile, s):
+        row0 = tile * tr
+        return pltpu.make_async_copy(
+            Os.at[s], out_hbm.at[pl.ds(row0 + G1, tr), :], out_sems.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        for dma in in_dmas(t, slot):
+            dma.start()
+
+    @pl.when(t + 1 < T)
+    def _():
+        for dma in in_dmas(t + 1, nxt):
+            dma.start()
+
+    _copy_margins(u_hbm, out_hbm, margin_sems, t, n_tiles, rows)
+
+    for dma in in_dmas(t, slot):
+        dma.wait()
+
+    _color_sweep_body_const(Bs[slot], Us.at[slot], omega, symmetric,
+                            t * tr, side, w33)
+
+    @pl.when(t >= 2)
+    def _():
+        out_dma(t - 2, slot).wait()
+
+    Os[slot] = Us[slot, G1:G1 + tr, :]
+    out_dma(t, slot).start()
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(t, slot).wait()
+
+    if T >= 2:
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t - 1, nxt).wait()
+
+
 def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
                      in_sems, out_sems, margin_sems, *, tr: int,
                      omega: float, symmetric: bool, n_tiles: int,
@@ -229,12 +367,15 @@ def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
 
 
 def pick_tile_rows(cols: int, itemsize: int = 4,
-                   double_buffer: bool = False) -> int:
-    """Largest even TR fitting VMEM: 11 scratch row-blocks (9 coeff planes
-    + b + u; x2 when double-buffered) plus ~8 compiler temporaries of one
-    (W, cols) block each, plus the output staging slots."""
-    scratch_blocks = (22 if double_buffer else 11) + 8
-    for tr in (256, 128, 64, 32, 16, 8):
+                   double_buffer: bool = False,
+                   const: bool = False) -> int:
+    """Largest even TR fitting VMEM: scratch row-blocks (9 coeff planes
+    + b + u, or just b + u for the constant-stencil path; x2 when
+    double-buffered) plus ~8 compiler temporaries of one (W, cols) block
+    each, plus the output staging slots."""
+    operands = 2 if const else 11
+    scratch_blocks = (2 * operands if double_buffer else operands) + 8
+    for tr in (512, 256, 128, 64, 32, 16, 8):
         total = scratch_blocks * (tr + 2 * G1) * cols * itemsize
         if double_buffer:
             total += 2 * tr * cols * itemsize
@@ -244,35 +385,55 @@ def pick_tile_rows(cols: int, itemsize: int = 4,
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["c_pad"], meta_fields=["side", "tr", "n_tiles"])
+         data_fields=["c_pad"],
+         meta_fields=["side", "tr", "n_tiles", "rows", "cols", "w33",
+                      "np_dtype"])
 @dataclasses.dataclass(frozen=True)
 class PaddedStencil:
-    """Per-level padded operands + static geometry for the fused sweep."""
+    """Per-level padded operands + static geometry for the fused sweep.
 
-    c_pad: jnp.ndarray   # (9, Np, Mp)
+    Constant-stencil levels (Stencil2D.w33 set) carry only the 3x3 weight
+    tuple as static metadata — no padded coefficient planes at all
+    (c_pad is None) — and dispatch to the const kernels."""
+
+    c_pad: jnp.ndarray | None   # (9, Np, Mp), or None when w33 is set
     side: int            # real grid side n
     tr: int              # rows per tile
     n_tiles: int
+    rows: int            # padded frame rows
+    cols: int            # padded frame cols
+    w33: tuple | None = None
+    np_dtype: str = "float32"
 
     @property
     def padded_shape(self):
-        return self.c_pad.shape[1:]
+        return (self.rows, self.cols)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.np_dtype)
 
     @staticmethod
     def prepare(S, tr: int | None = None, dtype=None,
                 double_buffer: bool = False) -> "PaddedStencil":
         """Pad a Stencil2D's coefficient planes into the kernel frame."""
-        c = np.asarray(S.c)  # (3, 3, n, n)
         n = S.side
         if dtype is None:
-            dtype = c.dtype
+            dtype = np.asarray(S.c[:1, :1, :1, :1]).dtype
+        dtype = np.dtype(dtype)
+        const = S.w33 is not None
         cols = COL_PAD_LEFT + n
         cols = -(-cols // LANE) * LANE
         if tr is None:
-            tr = pick_tile_rows(cols, np.dtype(dtype).itemsize,
-                                double_buffer)
+            tr = pick_tile_rows(cols, dtype.itemsize, double_buffer,
+                                const=const)
         n_tiles = -(-n // tr)
         rows = G1 + n_tiles * tr + G1
+        if const:
+            return PaddedStencil(c_pad=None, side=n, tr=tr,
+                                 n_tiles=n_tiles, rows=rows, cols=cols,
+                                 w33=S.w33, np_dtype=dtype.name)
+        c = np.asarray(S.c)  # (3, 3, n, n)
         cp = np.zeros((9, rows, cols), dtype=dtype)
         cp[:, G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n] = c.reshape(9, n, n)
         # identity diagonal everywhere outside the real grid
@@ -280,12 +441,13 @@ class PaddedStencil:
         mask[G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n] = False
         cp[4][mask] = 1.0
         return PaddedStencil(c_pad=jnp.asarray(cp), side=n, tr=tr,
-                             n_tiles=n_tiles)
+                             n_tiles=n_tiles, rows=rows, cols=cols,
+                             np_dtype=dtype.name)
 
     def pad_field(self, f2: jnp.ndarray) -> jnp.ndarray:
         rows, cols = self.padded_shape
         n = self.side
-        out = jnp.zeros((rows, cols), dtype=self.c_pad.dtype)
+        out = jnp.zeros((rows, cols), dtype=self.dtype)
         return out.at[G1:G1 + n, COL_PAD_LEFT:COL_PAD_LEFT + n].set(f2)
 
     def unpad_field(self, fp: jnp.ndarray) -> jnp.ndarray:
@@ -311,6 +473,41 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
     nt = ps.n_tiles
     W = tr + 2 * G1
     dtype = u_pad.dtype
+
+    if ps.w33 is not None:
+        # Constant-stencil path: u + b are the only operands; weights are
+        # immediate constants baked into the kernel.
+        if double_buffer:
+            kernel = partial(_sweep_kernel_const_db, tr=tr, omega=omega,
+                             symmetric=symmetric, n_tiles=nt, rows=rows,
+                             side=ps.side, w33=ps.w33)
+            scratch = [
+                pltpu.VMEM((2, W, cols), dtype),
+                pltpu.VMEM((2, W, cols), dtype),
+                pltpu.VMEM((2, tr, cols), dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kernel = partial(_sweep_kernel_const, tr=tr, omega=omega,
+                             symmetric=symmetric, n_tiles=nt, rows=rows,
+                             side=ps.side, w33=ps.w33)
+            scratch = [
+                pltpu.VMEM((W, cols), dtype),
+                pltpu.VMEM((W, cols), dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        return pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(b_pad, u_pad)
 
     if double_buffer:
         kernel = partial(_sweep_kernel_db, tr=tr, omega=omega,

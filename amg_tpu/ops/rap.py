@@ -89,6 +89,39 @@ def build_hierarchy_planes(c_fine: jnp.ndarray, n_levels: int):
     return planes
 
 
+def coarsen_tridiag(off: float, diag: float) -> tuple[float, float]:
+    """1-D Galerkin RAP of a constant symmetric tridiagonal (off, diag)
+    under the [1/2, 1, 1/2] transfer: closed form
+
+        diag' = 1.5*diag + 2*off,   off' = off + diag/4
+
+    (derived from P1^T T P1 column overlaps; P columns are never
+    boundary-truncated on 2^k-1 grids, interpolator.hpp:114-129)."""
+    return off + diag / 4.0, 1.5 * diag + 2.0 * off
+
+
+def poisson_const_w33(side: int, n_levels: int) -> list[tuple]:
+    """Per-level constant 3x3 stencil weights for the Poisson hierarchy,
+    computed analytically in f64 (no device transfer).
+
+    A_0 = I (x) D + D (x) I is separable, and Galerkin RAP preserves the
+    form A_l = M_l (x) K_l + K_l (x) M_l with M, K constant symmetric
+    tridiagonals; so w33_l[dj][di] = M_l[dj]*K_l[di] + K_l[dj]*M_l[di]."""
+    h = 2.0 / (side + 1)
+    K = (1.0 / (h * h), -2.0 / (h * h))  # (off, diag) of D
+    M = (0.0, 1.0)                       # (off, diag) of I
+    out = []
+    for _ in range(n_levels):
+        m = {-1: M[0], 0: M[1], 1: M[0]}
+        k = {-1: K[0], 0: K[1], 1: K[0]}
+        out.append(tuple(
+            tuple(m[dj] * k[di] + k[dj] * m[di] for di in (-1, 0, 1))
+            for dj in (-1, 0, 1)))
+        M = coarsen_tridiag(*M)
+        K = coarsen_tridiag(*K)
+    return out
+
+
 def poisson_planes(side: int, dtype=jnp.float32) -> jnp.ndarray:
     """Fine-level 5-point Laplacian as (3,3,n,n) planes, built with device
     iota arithmetic — no host assembly, no bulk transfer (values match

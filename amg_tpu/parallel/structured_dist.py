@@ -85,6 +85,176 @@ def _matvec_local(c_loc, u_loc, D: int):
 _COLORS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
+# ---------------------------------------------------------------------------
+# Ghost-strip (one-exchange-per-sweep) kernels for constant-stencil levels.
+#
+# The per-color-step halo exchange below (_gs4_sweep_local) blocks on a
+# ppermute before EVERY color step — 8 exchanges per symmetric sweep, the
+# round-1 scaling bottleneck. For constant-stencil levels we instead apply
+# the fused Pallas kernel's ghost-zone temporal blocking ACROSS DEVICES:
+# exchange one G-row ghost strip of (u, b) up front (a single ppermute pair),
+# run all color steps on the extended slab in-registers, and discard the
+# ghost rows the steps invalidated. G = steps + 2 keeps two extra ghost rows
+# valid after the sweep so the residual + restriction that follow reuse the
+# SAME exchange — zero additional communication on the V-cycle down-leg.
+
+
+def _conv9_const(w33, x):
+    """9-point constant-stencil apply with zero padding on all sides.
+    Rows 0 and R-1 of the result see zero padding above/below — callers
+    only consume rows whose true neighbors are present."""
+    R, n = x.shape
+    xp = jnp.pad(x, 1)
+    out = jnp.zeros_like(x)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            w = w33[dj + 1][di + 1]
+            if w == 0.0:
+                continue
+            out = out + w * lax.slice(
+                xp, (1 + dj, 1 + di), (1 + dj + R, 1 + di + n))
+    return out
+
+
+def _exchange_strips(u_loc, b_loc, G: int, D: int):
+    """One ghost-strip exchange: returns (u_ext, b_ext) with G neighbor
+    rows above and below (zeros at the ring edges). u and b strips ride the
+    same ppermute (one collective per direction per sweep).
+
+    When G > B (tiny slabs), the strip spans ceil(G/B) neighbor slabs and
+    the exchange runs that many hops — still independent of the number of
+    color steps, unlike the per-step exchange it replaces."""
+    B, n = u_loc.shape
+    z = jnp.zeros((G, n), dtype=u_loc.dtype)
+    if D == 1:
+        return (jnp.concatenate([z, u_loc, z], axis=0),
+                jnp.concatenate([z, b_loc, z], axis=0))
+    hops = -(-G // B)
+    stack = jnp.concatenate([u_loc, b_loc], axis=0)  # (2B, n)
+    above, below = [], []  # slabs of devices d-h (h=1..hops) and d+h
+    for h in range(1, hops + 1):
+        above.append(lax.ppermute(
+            stack, AXIS, [(i, i + h) for i in range(D - h)]))
+        below.append(lax.ppermute(
+            stack, AXIS, [(i + h, i) for i in range(D - h)]))
+    # rows above this slab, nearest last: [d-hops; ...; d-1]
+    top_u = jnp.concatenate([z[:B]] + [s[:B] for s in above[::-1]], axis=0)
+    top_b = jnp.concatenate([z[:B]] + [s[B:] for s in above[::-1]], axis=0)
+    bot_u = jnp.concatenate([s[:B] for s in below] + [z[:B]], axis=0)
+    bot_b = jnp.concatenate([s[B:] for s in below] + [z[:B]], axis=0)
+    u_ext = jnp.concatenate([top_u[-G:], u_loc, bot_u[:G]], axis=0)
+    b_ext = jnp.concatenate([top_b[-G:], b_loc, bot_b[:G]], axis=0)
+    return u_ext, b_ext
+
+
+def _gs4_sweep_ghost_const(w33, u_loc, b_loc, side: int, sweeps: int,
+                           omega: float, symmetric: bool, D: int):
+    """``sweeps`` four-color GS sweeps with ONE ghost-strip exchange.
+
+    Returns (u_ext, b_ext, G): extended (B + 2G, n) slabs where rows
+    [G-2, G+B+2) of u_ext hold exactly the values the global masked sweep
+    (sparse/stencil.py gs4_sweep_masked) would produce — each color step
+    invalidates one ghost row per side, and G = steps*sweeps + 2 leaves a
+    2-row margin valid for the residual/restriction that follow."""
+    B, n = u_loc.shape
+    steps = (8 if symmetric else 4) * sweeps
+    G = steps + 2
+    if G % 2:
+        G += 1  # keep parity alignment
+    u_ext, b_ext = _exchange_strips(u_loc, b_loc, G, D)
+    R = B + 2 * G
+    dev = lax.axis_index(AXIS)
+    row_g = (jax.lax.broadcasted_iota(jnp.int32, (R, n), 0)
+             + dev * B - G)
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (R, n), 1)
+    valid = (row_g >= 0) & (row_g < side)
+    row_par = row_g % 2
+    col_par = col_g % 2
+    inv_diag = 1.0 / w33[1][1]
+
+    order = list(_COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    for _ in range(sweeps):
+        for pj, pi in order:
+            r = b_ext - _conv9_const(w33, u_ext)
+            mask = (row_par == pj) & (col_par == pi) & valid
+            u_ext = u_ext + jnp.where(mask, omega * r * inv_diag, 0.0)
+    return u_ext, b_ext, G
+
+
+def _matvec_const(w33, u_loc, side: int, B: int, D: int):
+    """Constant-stencil SpMV on the slab: 1-row halo + conv; padding rows
+    (global row >= side) act as identity (u there is kept zero)."""
+    top, bot = _halo(u_loc, D)
+    x = jnp.concatenate([top, u_loc, bot], axis=0)
+    av = _conv9_const(w33, x)[1:1 + B]
+    dev = lax.axis_index(AXIS)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, u_loc.shape, 0) + dev * B
+    return jnp.where(row_g < side, av, u_loc)
+
+
+def _restrict_from_ext(r01, Bc: int, nc: int, nc_real: int, D: int):
+    """Full-weighting restriction from r at slab rows 0..B (B+1 rows,
+    already available from the ghost-strip sweep — no halo exchange)."""
+    w = jnp.asarray(W2D, dtype=r01.dtype)
+    out = jnp.zeros((Bc, nc), dtype=r01.dtype)
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            out = out + w[dj + 1, di + 1] * lax.slice(
+                r01, (1 + dj, 1 + di),
+                (1 + dj + 2 * Bc - 1, 1 + di + 2 * nc - 1), (2, 2))
+    dev = lax.axis_index(AXIS)
+    grow = dev * Bc + jnp.arange(Bc)
+    return jnp.where((grow < nc_real)[:, None], out, 0)
+
+
+def _df_residual_const(w33, b_df, u_df, side: int, B: int, D: int):
+    """r = b - A u on the sharded slab in double-float32 (ops/doublefloat),
+    for a constant-stencil level. The 1-row halo carries hi and lo rows in
+    one ppermute pair; the 9 weights enter as exact (hi, lo) constant
+    pairs, so the residual matches the f64 one to ~2^-48 relative — the
+    piece that lets the DISTRIBUTED solve reach the reference's 1e-9-scale
+    tolerances (testlib.cpp:158) without emulated-f64 matvecs."""
+    from amg_tpu.ops.doublefloat import DF32, df_add, df_mul, df_neg
+
+    n = u_df.hi.shape[1]
+    if D == 1:
+        z = jnp.zeros((1, n), dtype=u_df.hi.dtype)
+        top_h = bot_h = top_l = bot_l = z
+    else:
+        down = jnp.concatenate([u_df.hi[-1:], u_df.lo[-1:]], axis=0)
+        up = jnp.concatenate([u_df.hi[:1], u_df.lo[:1]], axis=0)
+        top = lax.ppermute(down, AXIS, [(i, i + 1) for i in range(D - 1)])
+        bot = lax.ppermute(up, AXIS, [(i + 1, i) for i in range(D - 1)])
+        top_h, top_l = top[:1], top[1:]
+        bot_h, bot_l = bot[:1], bot[1:]
+    xh = jnp.pad(jnp.concatenate([top_h, u_df.hi, bot_h], axis=0),
+                 ((0, 0), (1, 1)))
+    xl = jnp.pad(jnp.concatenate([top_l, u_df.lo, bot_l], axis=0),
+                 ((0, 0), (1, 1)))
+    acc = DF32.from_f32(jnp.zeros_like(u_df.hi))
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            w = w33[dj + 1][di + 1]
+            if w == 0.0:
+                continue
+            w_hi = float(np.float32(w))
+            w_lo = float(np.float32(w - w_hi))
+            sl = lambda z_: lax.slice(z_, (1 + dj, 1 + di),
+                                      (1 + dj + B, 1 + di + n))
+            term = df_mul(DF32(hi=jnp.float32(w_hi), lo=jnp.float32(w_lo)),
+                          DF32(hi=sl(xh), lo=sl(xl)))
+            acc = df_add(acc, term)
+    r = df_add(b_df, df_neg(acc))
+    # padding rows (global row >= side) carry zero residual
+    dev = lax.axis_index(AXIS)
+    row_g = jax.lax.broadcasted_iota(jnp.int32, u_df.hi.shape, 0) + dev * B
+    keep = row_g < side
+    return DF32(hi=jnp.where(keep, r.hi, 0.0),
+                lo=jnp.where(keep, r.lo, 0.0))
+
+
 def _gs4_sweep_local(c_loc, u_loc, b_loc, omega: float, symmetric: bool,
                      D: int):
     """Sharded four-color GS sweep as full-width masked updates (the
@@ -179,6 +349,12 @@ class DistConfig:
     post_sweeps: int = 1
     omega: float = 1.0
     symmetric: bool = True
+    # per sharded level: 3x3 constant-stencil weight tuple, or None when the
+    # level has variable coefficients (→ per-color-step halo fallback)
+    w33s: tuple = ()
+    # 'sweep' = one ghost-strip exchange per sweep (const levels only);
+    # 'step' = reference-style exchange before every color step
+    halo: str = "sweep"
 
 
 def plan_distribution(side: int, n_levels: int, n_devices: int,
@@ -207,9 +383,16 @@ def plan_distribution(side: int, n_levels: int, n_devices: int,
 
 def build_dist_hierarchy(side: int, n_levels: int | None = None,
                          n_devices: int | None = None, dtype=jnp.float32,
-                         A_fine=None):
+                         A_fine=None, force_var: bool = False):
     """Host-side setup: padded sharded coefficient planes + replicated
-    coarse sub-hierarchy (Galerkin RAP chain as in multigrid.hpp:211-243)."""
+    coarse sub-hierarchy (Galerkin RAP chain as in multigrid.hpp:211-243).
+
+    Constant-stencil levels (the Poisson/Galerkin case — detected exactly)
+    carry their 9 weights as static config instead of (3,3,n_pad,n) plane
+    arrays: no coefficient memory, no coefficient HBM traffic, and the
+    ghost-strip sweep needs no coefficient halos. ``force_var`` keeps the
+    plane arrays anyway (per-color-step halo path, for equivalence tests).
+    """
     import scipy.sparse as sp
     import jax.scipy.linalg as jsl
 
@@ -230,10 +413,16 @@ def build_dist_hierarchy(side: int, n_levels: int | None = None,
         mats.append((P2.T @ (mats[-1] @ P2)).tocsr())
 
     # Sharded levels: pad rows to D*B_l, identity diagonal on padding.
+    # Constant levels store a placeholder scalar (replicated) instead.
     sharded_coeffs = []
+    w33s = []
     for l in range(Ls):
         n = sides[l]
         S = Stencil2D.from_scipy(mats[l], n, dtype=dtype)
+        w33s.append(None if force_var else S.w33)
+        if w33s[-1] is not None:
+            sharded_coeffs.append(jnp.zeros((1,), dtype=dtype))
+            continue
         c = np.asarray(S.c)
         n_pad = n_devices * blocks[l]
         cp = np.zeros((3, 3, n_pad, n), dtype=c.dtype)
@@ -260,7 +449,8 @@ def build_dist_hierarchy(side: int, n_levels: int | None = None,
                                 padded=(None,) * len(repl_levels),
                                 sides=sub_sides, smoother="masked")
     cfg = DistConfig(n_devices=n_devices, sides=tuple(sides),
-                     blocks=tuple(blocks), n_sharded=Ls)
+                     blocks=tuple(blocks), n_sharded=Ls,
+                     w33s=tuple(w33s))
     return cfg, tuple(sharded_coeffs), sub_hier
 
 
@@ -278,22 +468,52 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
     us = [None] * Ls
     bs = [None] * Ls
     us[0], bs[0] = u_loc, b_loc
+
+    def smooth_only(l, u, b, sweeps):
+        """Post-smooth: ghost-strip path (1 exchange/sweep) on constant
+        levels, per-color-step exchange otherwise."""
+        w33 = cfg.w33s[l]
+        if cfg.halo == "sweep" and w33 is not None:
+            B = cfg.blocks[l]
+            u_ext, _, G = _gs4_sweep_ghost_const(
+                w33, u, b, cfg.sides[l], sweeps, cfg.omega, cfg.symmetric, D)
+            return u_ext[G:G + B]
+        for _ in range(sweeps):
+            u = _gs4_sweep_local(sharded_coeffs[l], u, b, cfg.omega,
+                                 cfg.symmetric, D)
+        return u
+
     # sharded down-leg (multigrid.hpp:265-284 leg order)
     for l in range(Ls):
-        c = sharded_coeffs[l]
-        for _ in range(cfg.pre_sweeps):
-            us[l] = _gs4_sweep_local(c, us[l], bs[l], cfg.omega,
-                                     cfg.symmetric, D)
-        r = bs[l] - _matvec_local(c, us[l], D)
+        w33 = cfg.w33s[l]
         nc_real = cfg.sides[l + 1]
-        if l < Ls - 1:
-            Bc = cfg.blocks[l + 1]
-            bs_next = _restrict_local(r, Bc, nc_real, nc_real, D)
-            bs[l + 1] = bs_next
-            us[l + 1] = jnp.zeros_like(bs_next)
+        Bc = cfg.blocks[l + 1] if l < Ls - 1 else cfg.blocks[l] // 2
+        if cfg.halo == "sweep" and w33 is not None:
+            # one exchange covers pre-smooth + residual + restriction:
+            # post-sweep ghost rows at distance <= 2 are still exact
+            B = cfg.blocks[l]
+            u_ext, b_ext, G = _gs4_sweep_ghost_const(
+                w33, us[l], bs[l], cfg.sides[l], cfg.pre_sweeps, cfg.omega,
+                cfg.symmetric, D)
+            us[l] = u_ext[G:G + B]
+            r01 = (b_ext - _conv9_const(w33, u_ext))[G:G + B + 1]
+            # padding rows (global row >= side) must carry zero residual
+            dev = lax.axis_index(AXIS)
+            row_g = (jax.lax.broadcasted_iota(jnp.int32, r01.shape, 0)
+                     + dev * B)
+            r01 = jnp.where(row_g < cfg.sides[l], r01, 0.0)
+            coarse_loc = _restrict_from_ext(r01, Bc, nc_real, nc_real, D)
         else:
-            Bc = cfg.blocks[l] // 2
+            c = sharded_coeffs[l]
+            for _ in range(cfg.pre_sweeps):
+                us[l] = _gs4_sweep_local(c, us[l], bs[l], cfg.omega,
+                                         cfg.symmetric, D)
+            r = bs[l] - _matvec_local(c, us[l], D)
             coarse_loc = _restrict_local(r, Bc, nc_real, nc_real, D)
+        if l < Ls - 1:
+            bs[l + 1] = coarse_loc
+            us[l + 1] = jnp.zeros_like(coarse_loc)
+        else:
             full = lax.all_gather(coarse_loc, AXIS, tiled=True)
             b_repl = full[:nc_real]
     # replicated (agglomerated) sub-hierarchy: one V-cycle pass from zero
@@ -308,10 +528,7 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
             us[l] = us[l] + _prolong_from_replicated(u_repl, B, n, B // 2, D)
         else:
             us[l] = us[l] + _prolong_local(us[l + 1], B, n, D)
-        c = sharded_coeffs[l]
-        for _ in range(cfg.post_sweeps):
-            us[l] = _gs4_sweep_local(c, us[l], bs[l], cfg.omega,
-                                     cfg.symmetric, D)
+        us[l] = smooth_only(l, us[l], bs[l], cfg.post_sweeps)
     return us[0]
 
 
@@ -327,12 +544,14 @@ class DistStructuredSolver:
     def __init__(self, side: int, n_levels: int | None = None,
                  n_devices: int | None = None, dtype=jnp.float32,
                  pre_sweeps: int = 1, post_sweeps: int = 1,
-                 omega: float = 1.0, symmetric: bool = True, A_fine=None):
+                 omega: float = 1.0, symmetric: bool = True, A_fine=None,
+                 halo: str = "sweep", force_var: bool = False,
+                 cycles_per_refine: int = 2):
         cfg, coeffs, sub_hier = build_dist_hierarchy(
-            side, n_levels, n_devices, dtype, A_fine)
+            side, n_levels, n_devices, dtype, A_fine, force_var=force_var)
         cfg = dataclasses.replace(cfg, pre_sweeps=pre_sweeps,
                                   post_sweeps=post_sweeps, omega=omega,
-                                  symmetric=symmetric)
+                                  symmetric=symmetric, halo=halo)
         self.cfg = cfg
         self.dtype = dtype
         self.side = side
@@ -344,24 +563,65 @@ class DistStructuredSolver:
         self.n_pad = D * cfg.blocks[0] if cfg.n_sharded else side
 
         spec_field = P(AXIS, None)
-        spec_coeff = P(None, None, AXIS, None)
+        # constant levels hold a replicated placeholder scalar, not planes
+        spec_coeffs = tuple(
+            P() if cfg.w33s[l] is not None else P(None, None, AXIS, None)
+            for l in range(cfg.n_sharded))
 
         def vc(coeffs_, sub_hier_, u, b):
             return _vcycle_local(cfg, coeffs_, sub_hier_, u, b)
 
         self._vcycle = jax.jit(jax.shard_map(
             vc, mesh=self.mesh,
-            in_specs=(tuple(spec_coeff for _ in coeffs), P(), spec_field,
-                      spec_field),
+            in_specs=(spec_coeffs, P(), spec_field, spec_field),
             out_specs=spec_field))
 
         def rss_fn(c0, u, b):
-            r = b - _matvec_local(c0, u, cfg.n_devices)
+            if cfg.w33s and cfg.w33s[0] is not None:
+                av = _matvec_const(cfg.w33s[0], u, cfg.sides[0],
+                                   cfg.blocks[0], cfg.n_devices)
+            else:
+                av = _matvec_local(c0, u, cfg.n_devices)
+            r = b - av
             return lax.psum(jnp.sum(r * r), AXIS)
 
         self._rss = jax.jit(jax.shard_map(
             rss_fn, mesh=self.mesh,
-            in_specs=(spec_coeff, spec_field, spec_field), out_specs=P()))
+            in_specs=(spec_coeffs[0], spec_field, spec_field),
+            out_specs=P()))
+
+        # df32 defect-correction refine step (const fine level only): one
+        # high-precision residual + rss, then cycles_per_refine f32
+        # V-cycles on the residual, then u += e in df32. This is what lets
+        # the distributed solve reach reference-grade (1e-9 in f64 /
+        # 1e-7 f32-attainable) rss like the single-chip path.
+        self.cycles_per_refine = cycles_per_refine
+        if cfg.w33s and cfg.w33s[0] is not None:
+            from amg_tpu.ops.doublefloat import DF32, df_add_f32, df_rss
+
+            w0 = cfg.w33s[0]
+            B0 = cfg.blocks[0]
+            side0 = cfg.sides[0]
+
+            def refine_fn(coeffs_, sub_hier_, uh, ul, bh, bl):
+                u_df = DF32(hi=uh, lo=ul)
+                b_df = DF32(hi=bh, lo=bl)
+                r = _df_residual_const(w0, b_df, u_df, side0, B0,
+                                       cfg.n_devices)
+                err = lax.psum(df_rss(r), AXIS)
+                e = jnp.zeros_like(uh)
+                for _ in range(cycles_per_refine):
+                    e = _vcycle_local(cfg, coeffs_, sub_hier_, e, r.hi)
+                u_next = df_add_f32(u_df, e)
+                return u_next.hi, u_next.lo, err
+
+            self._refine = jax.jit(jax.shard_map(
+                refine_fn, mesh=self.mesh,
+                in_specs=(spec_coeffs, P(), spec_field, spec_field,
+                          spec_field, spec_field),
+                out_specs=(spec_field, spec_field, P())))
+        else:
+            self._refine = None
 
     def pad_field(self, f2: jnp.ndarray) -> jnp.ndarray:
         """(side, side) -> sharded (n_pad, side)."""
@@ -400,4 +660,48 @@ class DistStructuredSolver:
                 error = self.rss(u, b_pad)
                 history.append((it, error))
         return SolveResult(u=self.unpad(u), iterations=it, error=error,
+                           converged=error <= tolerance, history=history)
+
+    def solve_ir(self, b2, tolerance=1e-9, n_refine: int = 40
+                 ) -> SolveResult:
+        """Mixed-precision distributed solve: df32 defect correction around
+        sharded f32 V-cycles (the distributed analog of
+        StructuredSolver.solve_ir; reference tolerance contract
+        testlib.cpp:158,204-206). ``b2`` may be f64 (split exactly into
+        hi+lo) or f32."""
+        if self._refine is None:
+            raise NotImplementedError(
+                "solve_ir requires a constant-stencil fine level; use "
+                "solve() or the ELL distributed path for variable "
+                "coefficients")
+        b = jnp.asarray(b2)
+        if b.dtype == jnp.float64:
+            bh_full = b.astype(jnp.float32)
+            bl_full = (b - bh_full.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            bh_full = b.astype(jnp.float32)
+            bl_full = jnp.zeros_like(bh_full)
+        bh = self.pad_field(bh_full)
+        bl = self.pad_field(bl_full)
+        uh = jnp.zeros_like(bh)
+        ul = jnp.zeros_like(bh)
+        history = []
+        it = 0
+        error = float("inf")
+        for _ in range(n_refine):
+            uh2, ul2, err = self._refine(self.coeffs, self.sub_hier,
+                                         uh, ul, bh, bl)
+            error = float(err)
+            history.append((it, error))
+            if error <= tolerance:
+                break
+            uh, ul = uh2, ul2
+            it += self.cycles_per_refine
+        u_hi = self.unpad(uh)
+        u_lo = self.unpad(ul)
+        if jax.config.jax_enable_x64:
+            u = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
+        else:
+            u = u_hi
+        return SolveResult(u=u, iterations=it, error=error,
                            converged=error <= tolerance, history=history)

@@ -26,13 +26,26 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["c"], meta_fields=["side"])
+         data_fields=["c"], meta_fields=["side", "w33"])
 @dataclasses.dataclass(frozen=True)
 class Stencil2D:
-    """Variable-coefficient 9-point stencil operator on an n x n grid."""
+    """Variable-coefficient 9-point stencil operator on an n x n grid.
+
+    ``w33`` (static metadata): when not None, a 3x3 nested tuple of Python
+    floats asserting that the operator is *spatially constant* with
+    zero-padding boundary semantics — c[dj,di][j,i] == w33[dj][di] wherever
+    (j+dj, i+di) is in bounds and 0 otherwise. This holds EXACTLY (bitwise)
+    for the Poisson fine level and every Galerkin/bilinear coarse level
+    (verified at build; see detect_const_stencil). Operators then use the
+    scalar weights as compile-time constants: SpMV and smoother sweeps read
+    only u (and b) from HBM — none of the 9 coefficient planes — cutting
+    smoother HBM traffic 4x. The planes stay materialized for densify/
+    checkpoint/IO paths.
+    """
 
     c: jnp.ndarray  # (3, 3, n, n)
     side: int
+    w33: tuple | None = None
 
     @property
     def n_rows(self) -> int:
@@ -52,16 +65,28 @@ class Stencil2D:
     # -- core ops (all static-shape shifted slices) -----------------------
 
     def matvec2(self, u2: jnp.ndarray) -> jnp.ndarray:
-        """A @ u on the 2-D field: sum of 9 shifted products."""
+        """A @ u on the 2-D field: sum of 9 shifted products.
+
+        With ``w33`` set, weights are scalar HLO constants and the zero
+        padding supplies the boundary truncation — no plane reads."""
         n = self.side
         up = jnp.pad(u2, 1)
         out = jnp.zeros_like(u2)
         for dj in (-1, 0, 1):
             for di in (-1, 0, 1):
-                w = self.c[dj + 1, di + 1]
+                w = (self.w33[dj + 1][di + 1] if self.w33 is not None
+                     else self.c[dj + 1, di + 1])
+                if isinstance(w, float) and w == 0.0:
+                    continue
                 out = out + w * jax.lax.slice(
                     up, (1 + dj, 1 + di), (1 + dj + n, 1 + di + n))
         return out
+
+    def inv_diag(self):
+        """1/diag as a scalar constant (const stencil) or plane."""
+        if self.w33 is not None:
+            return 1.0 / self.w33[1][1]
+        return 1.0 / self.c[1, 1]
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         """Flat-vector interface matching ELL.matvec."""
@@ -69,6 +94,12 @@ class Stencil2D:
         return self.matvec2(u.reshape(n, n)).reshape(-1)
 
     # -- conversions ------------------------------------------------------
+
+    @staticmethod
+    def from_planes(c: jnp.ndarray, side: int) -> "Stencil2D":
+        """Wrap (3,3,n,n) planes, detecting the constant-stencil property."""
+        return Stencil2D(c=c, side=side,
+                         w33=detect_const_stencil(np.asarray(c), side))
 
     @staticmethod
     def from_scipy(A, side: int, dtype=None) -> "Stencil2D":
@@ -90,7 +121,9 @@ class Stencil2D:
         c[dj + 1, di + 1, r_j, r_i] = A.data
         if dtype is None:
             dtype = A.data.dtype
-        return Stencil2D(c=jnp.asarray(c, dtype=dtype), side=side)
+        c = c.astype(dtype)
+        return Stencil2D(c=jnp.asarray(c), side=side,
+                         w33=detect_const_stencil(c, side))
 
     def to_scipy(self):
         import scipy.sparse as sp
@@ -115,7 +148,34 @@ class Stencil2D:
         return mat
 
     def astype(self, dtype) -> "Stencil2D":
-        return Stencil2D(c=self.c.astype(dtype), side=self.side)
+        return Stencil2D(c=self.c.astype(dtype), side=self.side,
+                         w33=self.w33)
+
+
+def detect_const_stencil(c_np: np.ndarray, side: int) -> tuple | None:
+    """Return the 3x3 weight tuple if the planes are EXACTLY a constant
+    stencil with zero-padding boundary semantics, else None.
+
+    Exactness (bitwise, no tolerance) is required so switching to scalar
+    weights changes no arithmetic. Poisson + tensor-product bilinear
+    Galerkin RAP satisfies this on every level because the 1-D transfer
+    stencil [1/2, 1, 1/2] is never boundary-truncated on 2^k-1 grids
+    (interpolator.hpp:114-129 bounds-drop never fires) and scipy/our SpGEMM
+    sum identical terms per interior entry.
+    """
+    n = side
+    c_np = np.asarray(c_np)
+    w = c_np[:, :, n // 2, n // 2]
+    jj, ii = np.indices((n, n))
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            plane = c_np[dj + 1, di + 1]
+            valid = ((jj + dj >= 0) & (jj + dj < n)
+                     & (ii + di >= 0) & (ii + di < n))
+            expect = np.where(valid, w[dj + 1, di + 1], plane.dtype.type(0))
+            if not np.array_equal(plane, expect):
+                return None
+    return tuple(tuple(float(x) for x in row) for row in w)
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +258,7 @@ def gs4_sweep_masked(S: Stencil2D, u2, b2, masks, omega: float = 1.0,
     order = list(range(4))
     if symmetric:
         order = order + order[::-1]
-    inv_diag = 1.0 / S.c[1, 1]
+    inv_diag = S.inv_diag()
     for ci in order:
         r = b2 - S.matvec2(u2)
         gs_delta = r * inv_diag  # == (gs value - u) at every point
@@ -209,7 +269,7 @@ def gs4_sweep_masked(S: Stencil2D, u2, b2, masks, omega: float = 1.0,
 def jacobi_sweep(S: Stencil2D, u2, b2, omega: float = 0.8):
     """Weighted-Jacobi sweep on the stencil level."""
     r = b2 - S.matvec2(u2)
-    return u2 + omega * r / S.c[1, 1]
+    return u2 + omega * r * S.inv_diag()
 
 
 # ---------------------------------------------------------------------------

@@ -181,7 +181,11 @@ def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
         return tuple(planes), lu, piv, P1s, tuple(masks)
 
     planes, lu, piv, P1s, masks = _build()
-    levels = tuple(Stencil2D(c=c, side=s) for c, s in zip(planes, sides))
+    from amg_tpu.ops.rap import poisson_const_w33
+
+    w33s = poisson_const_w33(side, n_levels)
+    levels = tuple(Stencil2D(c=c, side=s, w33=w)
+                   for c, s, w in zip(planes, sides, w33s))
     return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
                             P1s=P1s, masks=masks,
                             padded=(None,) * n_levels, sides=tuple(sides),
@@ -412,7 +416,10 @@ class StructuredSolver:
             device_setup = A_fine is None and smoother == "masked"
         if device_setup and A_fine is None:
             self.hier = build_stencil_hierarchy_device(side, n_levels)
-            A64 = Stencil2D(c=poisson_planes(side, jnp.float64), side=side)
+            from amg_tpu.ops.rap import poisson_const_w33
+
+            A64 = Stencil2D(c=poisson_planes(side, jnp.float64), side=side,
+                            w33=poisson_const_w33(side, 1)[0])
         else:
             if A_fine is None:
                 A_fine = poisson.laplacian_scipy(side)  # built once, shared

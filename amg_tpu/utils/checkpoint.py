@@ -38,7 +38,7 @@ def load_stencil_hierarchy(path: str, dtype=None):
         c = z[f"c{i}"]
         if dtype is not None:
             c = c.astype(dtype)
-        levels.append(Stencil2D(c=jnp.asarray(c), side=side))
+        levels.append(Stencil2D.from_planes(jnp.asarray(c), side))
     dt = levels[0].c.dtype
     smoother = str(z["smoother"]) if "smoother" in z else "masked"
     P1s = tuple(jnp.asarray(linear_interp_1d(sides[l], sides[l + 1]

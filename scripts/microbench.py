@@ -85,26 +85,32 @@ def main():
     uc = jnp.asarray(rng.standard_normal((side, side)), dtype=dtype)
     ref_sweep = np.asarray(jax.jit(gs4_sweep_masked)(S, uc, b2, masks))
 
-    for tr, db in ((None, False), (None, True), (64, True)):
+    import dataclasses as _dc
+
+    S_var = _dc.replace(S, w33=None)  # force the variable-coefficient path
+    combos = [("cst", S, None, False), ("cst", S, None, True),
+              ("cst", S, 256, False), ("cst", S, 64, True),
+              ("var", S_var, None, False), ("var", S_var, None, True)]
+    for kind, S_, tr, db in combos:
         try:
-            ps = PaddedStencil.prepare(S, tr=tr, dtype=dtype,
+            ps = PaddedStencil.prepare(S_, tr=tr, dtype=dtype,
                                        double_buffer=db)
             bp = ps.pad_field(b2)
             got = np.asarray(ps.unpad_field(fused_gs4_sweep(
                 ps, ps.pad_field(uc), bp, double_buffer=db)))
             maxdiff = float(np.abs(got - ref_sweep).max())
             assert maxdiff < 5e-5, (
-                f"fused(tr={ps.tr},db={db}) WRONG on this backend: "
+                f"fused {kind}(tr={ps.tr},db={db}) WRONG on this backend: "
                 f"maxdiff={maxdiff:.3e}")
             t = timeit(loopit(lambda u, ps_, b_: fused_gs4_sweep(
                 ps_, u, b_, double_buffer=db)), ps.pad_field(u2), ps, bp)
             tag = "db" if db else "sb"
-            print(f"gs4 fused({ps.tr:3d},{tag}) {t*1e3:7.3f} ms   "
+            print(f"gs4 fused {kind}({ps.tr:3d},{tag}) {t*1e3:7.3f} ms   "
                   f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)  "
                   f"parity={maxdiff:.1e}")
         except Exception as e:
-            print(f"gs4 fused({tr},db={db}) FAILED: {type(e).__name__}: "
-                  f"{str(e)[:200]}")
+            print(f"gs4 fused {kind}({tr},db={db}) FAILED: "
+                  f"{type(e).__name__}: {str(e)[:200]}")
 
     # memory roofline reference: one full-field axpy
     t = timeit(loopit(lambda u: u + 1.0), u2)
