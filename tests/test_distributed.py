@@ -95,6 +95,61 @@ def test_dist_various_device_counts():
     np.testing.assert_allclose(results[0], results[2], rtol=1e-10)
 
 
+def test_dist_ghost_sweep_matches_per_step_halo():
+    """The one-exchange-per-sweep ghost-strip path must produce the same
+    iterate as the reference-style exchange-before-every-color-step path
+    (both equal the global masked sweep)."""
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s_ghost = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64,
+                                   halo="sweep")
+    s_step = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64,
+                                  halo="step", force_var=True)
+    assert all(w is not None for w in s_ghost.cfg.w33s)
+    assert all(w is None for w in s_step.cfg.w33s)
+    bg = s_ghost.pad_field(b2)
+    bs = s_step.pad_field(b2)
+    ug = s_ghost.unpad(s_ghost.vcycle(jnp.zeros_like(bg), bg))
+    us = s_step.unpad(s_step.vcycle(jnp.zeros_like(bs), bs))
+    np.testing.assert_allclose(np.asarray(ug), np.asarray(us),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_dist_ghost_path_uses_fewer_collectives():
+    """The ghost-strip V-cycle must lower to strictly fewer ppermutes than
+    the per-color-step variant (VERDICT round-1 item 4: <= 1 neighbor
+    exchange per sweep)."""
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    counts = {}
+    for name, kw in [("sweep", dict(halo="sweep")),
+                     ("step", dict(halo="step", force_var=True))]:
+        s = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64, **kw)
+        bp = s.pad_field(b2)
+        hlo = s._vcycle.lower(s.coeffs, s.sub_hier, jnp.zeros_like(bp),
+                              bp).compile().as_text()
+        counts[name] = hlo.count("collective-permute(")
+    assert counts["sweep"] < counts["step"] / 2, counts
+
+
+def test_dist_solve_ir_reaches_reference_tolerance():
+    """Distributed df32 defect correction hits the reference's 1e-9-grade
+    rss (testlib.cpp:158) and matches the single-chip mixed-precision
+    solve (VERDICT round-1 item 5)."""
+    from amg_tpu.structured import StructuredSolver
+
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s = DistStructuredSolver(side, n_devices=8)
+    res = s.solve_ir(b2, tolerance=1e-9)
+    assert res.converged and res.error <= 1e-9
+    ss = StructuredSolver(side, precision="f64", device_setup=False)
+    r2 = ss.solve_ir(b2, tolerance=1e-9)
+    assert res.iterations == r2.iterations
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(r2.u),
+                               rtol=0, atol=1e-10)
+
+
 def test_dist_vcycle_hlo_contains_expected_collectives():
     """Structural check (SNIPPETS.md [2] HLO-inspection pattern): the
     sharded V-cycle lowers to ppermute halo exchanges and an all-gather
