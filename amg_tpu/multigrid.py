@@ -38,7 +38,8 @@ import numpy as np
 import scipy.sparse as sp
 
 from amg_tpu.ops.coarse import CoarseSolver, setup_coarse_solver
-from amg_tpu.ops.smoothers import SmootherBase, SparseGaussSeidel
+from amg_tpu.ops.smoothers import (MulticolorGaussSeidel, SmootherBase,
+                                   SparseGaussSeidel)
 from amg_tpu.ops.transfer import InterpolatorBase, LinearInterpolator
 from amg_tpu.sparse.ell import ELL
 from amg_tpu.utils.metrics import rss, rss_from_residual
@@ -145,6 +146,71 @@ def build_hierarchy(A, n_levels: int,
                             smoother_state=smoother.setup(A_ell)))
     coarse = setup_coarse_solver(levels[-1].A)
     return Hierarchy(levels=tuple(levels), coarse=coarse)
+
+
+def build_hierarchy_device(A, n_levels: int,
+                           smoother: SmootherBase | None = None,
+                           dtype=None):
+    """Hierarchy whose Galerkin products run ON DEVICE (ops/ell_rap closed
+    form over the reference transfer structure, interpolator.hpp:98-142;
+    cf. multigrid.hpp:219-223 host SpGEMM).
+
+    Returns (hierarchy, plans): keep ``plans`` to refresh the hierarchy for
+    new operator VALUES with ``rebuild_hierarchy_values`` — one jitted
+    dispatch, no host SpGEMM round-trips (BASELINE config 4).
+    """
+    from amg_tpu.ops.ell_rap import build_rap_plans
+
+    if smoother is None:
+        smoother = MulticolorGaussSeidel()
+    interpolator = LinearInterpolator(n_levels)
+    A_ell = A if isinstance(A, ELL) else ELL.from_scipy(A, dtype=dtype)
+    if dtype is not None:
+        A_ell = A_ell.astype(dtype)
+    plans, mats = build_rap_plans(A_ell, n_levels)
+    levels = []
+    for l, M in enumerate(mats):
+        if l < n_levels - 1:
+            n_h, n_H = M.n_rows, mats[l + 1].n_rows
+            P, R = interpolator.make_operators_scipy(n_h, n_H)
+            P_ell = ELL.from_scipy(P, dtype=M.dtype)
+            R_ell = ELL.from_scipy(R, dtype=M.dtype)
+            interpolator.set_level_to_P(l, P_ell)
+            interpolator.set_level_to_R(l, R_ell)
+        else:
+            P_ell = R_ell = None
+        levels.append(Level(A=M, P=P_ell, R=R_ell,
+                            smoother_state=smoother.setup(M)))
+    coarse = setup_coarse_solver(levels[-1].A)
+    return Hierarchy(levels=tuple(levels), coarse=coarse), tuple(plans)
+
+
+def rebuild_hierarchy_values(hier: Hierarchy, plans: tuple,
+                             A_data: jnp.ndarray) -> Hierarchy:
+    """Jittable value-only hierarchy refresh: new fine ELL values (same
+    sparsity pattern) -> new level operators, smoother panels, and coarse
+    LU, entirely on device. The general-path analog of the structured
+    closed-form rebuild (ops/rap.build_hierarchy_planes)."""
+    from amg_tpu.ops.ell_rap import apply_rap_chain
+    from amg_tpu.ops.smoothers import (MulticolorGaussSeidel,
+                                       MulticolorGSState)
+
+    datas = apply_rap_chain(plans, A_data)
+    new_levels = []
+    for l, lev in enumerate(hier.levels):
+        A_new = ELL(data=datas[l], cols=lev.A.cols, shape=lev.A.shape)
+        st = lev.smoother_state
+        if isinstance(st, MulticolorGSState):
+            st = MulticolorGaussSeidel.refresh_state(st, datas[l])
+        else:
+            raise NotImplementedError(
+                "rebuild_hierarchy_values supports MulticolorGaussSeidel "
+                "hierarchies (the production smoother); rebuild others "
+                "with build_hierarchy_device")
+        new_levels.append(dataclasses.replace(lev, A=A_new,
+                                              smoother_state=st))
+    coarse = setup_coarse_solver(new_levels[-1].A)
+    return Hierarchy(levels=tuple(new_levels), coarse=coarse)
 
 
 def _smooth_level(smoother: SmootherBase, state, u, b):

@@ -344,6 +344,22 @@ class MulticolorGaussSeidel(SmootherBase):
             omega=self.omega, symmetric=self.symmetric, n_colors=C)
 
     @staticmethod
+    def refresh_state(state: MulticolorGSState,
+                      A_data: jnp.ndarray) -> MulticolorGSState:
+        """Jittable value-only state refresh: new ELL values (same pattern)
+        -> new color panels. Used by the on-device hierarchy rebuild
+        (multigrid.rebuild_hierarchy_values); the host coloring is
+        pattern-based and stays valid."""
+        rows = state.color_rows
+        data_p = A_data[rows]                       # (C, R, K)
+        is_diag = state.color_cols == rows[..., None]
+        diag = jnp.sum(jnp.where(is_diag, data_p, 0), axis=2)
+        off = jnp.where(is_diag, 0, data_p)
+        diag = jnp.where(state.color_valid, diag, 1.0)
+        off = off * state.color_valid[..., None]
+        return dataclasses.replace(state, color_data=off, color_diag=diag)
+
+    @staticmethod
     def _color_update(state: MulticolorGSState, u, b, c: int):
         rows = state.color_rows[c]
         offsum = jnp.sum(state.color_data[c] * u[state.color_cols[c]], axis=1)
