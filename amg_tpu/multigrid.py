@@ -314,7 +314,15 @@ class Multigrid:
                  smoother: SmootherBase | None, A, b, n_levels: int,
                  tolerance: float = 1e-9,
                  compute_error_every_n_iters: int = 10, n_iters: int = 100,
-                 dtype=None):
+                 dtype=None, config=None):
+        # config.SolverConfig supplies the reference ctor defaults
+        # (multigrid.hpp:155-156) when explicit arguments are not given
+        if config is not None:
+            n_levels = n_levels or config.n_levels
+            tolerance = config.tolerance
+            compute_error_every_n_iters = \
+                config.compute_error_every_n_iters
+            n_iters = config.n_iters
         # Validations (multigrid.hpp:164-178).
         if compute_error_every_n_iters > n_iters:
             raise ValueError(
@@ -345,15 +353,18 @@ class Multigrid:
         self._bs = [self.b] + [jnp.zeros(lev.A.n_rows, dtype=dt)
                                for lev in self.hierarchy.levels[1:]]
         self._rs = list(self._bs)
+        # jit built ONCE (a fresh jax.jit closure per call would retrace
+        # every vcycle() invocation)
+        self._vcycle_j = jax.jit(
+            lambda h, u, bb: vcycle(h, self.smoother, u, bb, collect=True))
 
     # -- reference API ----------------------------------------------------
 
     def vcycle(self):
         """One stateful V-cycle (updates per-level state like the
         reference's in-place version, multigrid.hpp:263-305)."""
-        u0, (us, bs, rs) = jax.jit(
-            lambda h, u, b: vcycle(h, self.smoother, u, b, collect=True)
-        )(self.hierarchy, self._us[0], self.b)
+        u0, (us, bs, rs) = self._vcycle_j(self.hierarchy, self._us[0],
+                                          self.b)
         self._us, self._bs, self._rs = list(us), list(bs), list(rs)
         return u0
 

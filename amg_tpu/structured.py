@@ -139,7 +139,9 @@ FUSED_MIN_SIDE = 256
 
 
 def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
-                                   dtype=jnp.float32) -> StencilHierarchy:
+                                   dtype=jnp.float32,
+                                   smoother: str = "masked"
+                                   ) -> StencilHierarchy:
     """Build the whole Poisson hierarchy ON DEVICE: fine planes from the
     closed-form stencil pattern, coarse levels via the closed-form Galerkin
     RAP (ops/rap.py), transfers/masks from device iota, coarsest dense LU
@@ -189,7 +191,7 @@ def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
     return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
                             P1s=P1s, masks=masks,
                             padded=(None,) * n_levels, sides=tuple(sides),
-                            smoother="masked")
+                            smoother=smoother)
 
 
 def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
@@ -408,14 +410,23 @@ class StructuredSolver:
                  post_sweeps: int = 1, omega: float = 1.0,
                  symmetric: bool = True, cycles_per_refine: int = 2,
                  A_fine=None, device_setup: bool | None = None,
-                 fmg: bool = True, precision: str = "df32"):
+                 fmg: bool = True, precision: str = "df32", config=None):
         from amg_tpu.ops.rap import poisson_planes
+
+        # config.StructuredConfig centralizes the TPU-path knobs
+        if config is not None:
+            pre_sweeps = config.pre_sweeps
+            post_sweeps = config.post_sweeps
+            omega = config.omega
+            symmetric = config.symmetric
+            cycles_per_refine = config.cycles_per_refine
 
         self.side = side
         if device_setup is None:
             device_setup = A_fine is None and smoother == "masked"
         if device_setup and A_fine is None:
-            self.hier = build_stencil_hierarchy_device(side, n_levels)
+            self.hier = build_stencil_hierarchy_device(side, n_levels,
+                                                       smoother=smoother)
             from amg_tpu.ops.rap import poisson_const_w33
 
             A64 = Stencil2D(c=poisson_planes(side, jnp.float64), side=side,

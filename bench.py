@@ -57,6 +57,83 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def pallas_hardware_gate():
+    """COMPILED-MODE parity check of the fused Pallas kernel on the real
+    chip (round-1 lesson: interpret-only tests cannot catch DMA-ordering
+    bugs). Runs every bench round; raises on mismatch."""
+    from amg_tpu.models import poisson
+    from amg_tpu.ops.pallas.rbgs import PaddedStencil, fused_gs4_sweep
+    from amg_tpu.sparse.stencil import (Stencil2D, color_masks,
+                                        gs4_sweep_masked)
+
+    side = 511
+    S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
+                             dtype=jnp.float32)
+    b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
+    rng = np.random.default_rng(0)
+    uc = jnp.asarray(rng.standard_normal((side, side)), dtype=jnp.float32)
+    ref = np.asarray(jax.jit(gs4_sweep_masked)(
+        S, uc, b2, color_masks(side, jnp.float32)))
+    import dataclasses as dc
+
+    stats = {}
+    for kind, S_ in (("const", S), ("var", dc.replace(S, w33=None))):
+        for db in (False, True):
+            ps = PaddedStencil.prepare(S_, tr=64, dtype=jnp.float32,
+                                       double_buffer=db)
+            got = np.asarray(ps.unpad_field(fused_gs4_sweep(
+                ps, ps.pad_field(uc), ps.pad_field(b2),
+                double_buffer=db)))
+            md = float(np.abs(got - ref).max())
+            assert md < 5e-5, (
+                f"fused Pallas kernel WRONG compiled on TPU "
+                f"({kind}, db={db}): maxdiff={md:.3e}")
+            stats[f"{kind}_db{int(db)}"] = md
+    log(f"pallas hardware parity gate passed: {stats}")
+    return stats
+
+
+def sweep_sol_stats():
+    """Per-sweep nnz/s and %-of-HBM-speed-of-light for the production
+    smoother at the headline sizes (BASELINE north star)."""
+    from amg_tpu.models import poisson
+    from amg_tpu.sparse.stencil import (Stencil2D, color_masks,
+                                        gs4_sweep_masked)
+    from amg_tpu.utils.profiling import Roofline
+
+    roof = Roofline()  # v5e defaults
+    out = {}
+    for side in (1023, 2047):
+        S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
+                                 dtype=jnp.float32)
+        b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
+        masks = color_masks(side, jnp.float32)
+        u0 = jnp.zeros_like(b2)
+
+        @jax.jit
+        def loop(u, S_, b_, m_):
+            return jax.lax.fori_loop(
+                0, 50, lambda _, uu: gs4_sweep_masked(S_, uu, b_, m_,
+                                                      1.0, True), u)
+
+        best = 1e9
+        for _ in range(4):
+            jax.block_until_ready(loop(u0, S, b2, masks))
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(u0, S, b2, masks))
+            best = min(best, (time.perf_counter() - t0) / 50)
+        nnz = S.nnz
+        # const-stencil sweep: 8 color steps x (read u, b; write u)
+        sol_s = 8 * 3 * side * side * 4 / (roof.hbm_gbps * 1e9)
+        out[side] = dict(sweep_ms=round(best * 1e3, 4),
+                         gnnz_s=round(2 * nnz / best / 1e9, 2),
+                         sol_pct=round(100 * sol_s / best, 1))
+        log(f"sweep@{side}: {best*1e3:.3f} ms, "
+            f"{2*nnz/best/1e9:.1f} Gnnz/s (sym), "
+            f"{100*sol_s/best:.0f}% of 24-pass HBM SoL")
+    return out
+
+
 def tpu_solve():
     from amg_tpu.models import poisson
     from amg_tpu.structured import StructuredSolver
@@ -133,8 +210,35 @@ def cpu_baseline():
     return secs
 
 
+def tpu_solve_2047():
+    """Secondary headline: the 2047^2 (4.19M dof) solve wall-clock."""
+    from amg_tpu.models import poisson
+    from amg_tpu.structured import StructuredSolver
+
+    side = 2047
+    b2 = jnp.asarray(np.asarray(poisson.rhs(side, dtype=jnp.float64)
+                                ).reshape(side, side))
+    solver = StructuredSolver(side)
+    solver.warmup()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        u, stats = solver.solve_ir_device(b2, tolerance=TOL)
+        jax.block_until_ready(u)
+        times.append(time.perf_counter() - t0)
+    err_v, it_v = np.asarray(stats)
+    assert err_v <= TOL, "2047^2 solve did not converge"
+    t = min(times)
+    log(f"tpu 2047^2 solve best-of-3: {t:.4f}s "
+        f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e})")
+    return t
+
+
 def main():
+    gate = pallas_hardware_gate()
+    sol = sweep_sol_stats()
     tpu_secs, res = tpu_solve()
+    t2047 = tpu_solve_2047()
     cpu_secs = cpu_baseline()
     vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
     print(json.dumps({
@@ -142,6 +246,11 @@ def main():
         "value": round(tpu_secs, 5),
         "unit": "s",
         "vs_baseline": round(vs, 2),
+        "extras": {
+            "solve_2047_s": round(t2047, 5),
+            "sweep_sol": sol,
+            "pallas_hw_parity_maxdiff": max(gate.values()),
+        },
     }), flush=True)
 
 

@@ -53,6 +53,28 @@ def test_config_defaults_match_reference():
     MeshConfig()
 
 
+def test_configs_consumed_by_solvers():
+    """The config dataclasses are accepted by the solver constructors and
+    drive their behavior (not just asserted defaults)."""
+    from amg_tpu.multigrid import Multigrid
+    from amg_tpu.structured import StructuredSolver
+
+    A, b = poisson.poisson2d(15)
+    cfg = SolverConfig(n_levels=4, tolerance=1e-30,
+                       compute_error_every_n_iters=2, n_iters=2)
+    amg = Multigrid(None, None, A, b, 4, config=cfg)
+    res = amg.solve(verbose=False)
+    assert res.iterations == 2 and not res.converged  # n_iters honored
+
+    scfg = StructuredConfig(pre_sweeps=2, post_sweeps=2, omega=1.2,
+                            cycles_per_refine=3)
+    s = StructuredSolver(15, precision="f64", config=scfg)
+    assert s.cycles_per_refine == 3
+    b2 = poisson.rhs(15, dtype=jnp.float64).reshape(15, 15)
+    r = s.solve_ir(b2, tolerance=1e-9)
+    assert r.converged
+
+
 def test_profiling_counters():
     st = KernelStats(name="sweep", seconds=0.001, nnz=9_000_000, sweeps=2)
     assert st.nnz_per_s == 18_000_000_000
@@ -62,3 +84,21 @@ def test_profiling_counters():
     assert "sweep" in st.summary(r, 1023 * 1023)
     t = time_fn(jnp.sin, jnp.ones(8), iters=2, warmup=1)
     assert t > 0
+
+
+def test_api_docs_generator(tmp_path):
+    """The docs pipeline (reference Doxygen analog) generates a page per
+    module plus an index."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "gen_api_docs", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "gen_api_docs.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    written = gen.main(str(tmp_path))
+    assert "amg_tpu_structured.md" in written
+    assert "amg_tpu_multigrid.md" in written
+    text = (tmp_path / "amg_tpu_structured.md").read_text()
+    assert "StencilHierarchy" in text
+    assert (tmp_path / "index.md").exists()
