@@ -78,3 +78,20 @@ def test_ell_dist_rss_matches_host():
     got = dist.rss(u, b_pad)
     want = float(jnp.sum(b * b))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_ell_dist_solve_ir_reaches_reference_tolerance():
+    """f32 hierarchy + df32 defect correction hits the reference's
+    1e-9-grade rss (testlib.cpp:158) on the distributed ELL path — the
+    mixed-precision capability hardware without f64 needs."""
+    import jax.numpy as jnp
+    import numpy as np
+    from amg_tpu.models import poisson
+    from amg_tpu.parallel.ell_dist import EllDistSolver
+
+    A, b = poisson.poisson2d(35)
+    s = EllDistSolver(A, b, n_levels=8, n_devices=8, dtype=jnp.float32)
+    res = s.solve_ir(tolerance=1e-9)
+    assert res.converged and res.error <= 1e-9
+    u_dir = np.linalg.solve(np.asarray(A.to_dense()), np.asarray(b))
+    assert np.abs(np.asarray(res.u) - u_dir).max() < 1e-5
