@@ -147,6 +147,32 @@ def _exchange_strips(u_loc, b_loc, G: int, D: int):
     return u_ext, b_ext
 
 
+def _masked_steps_const(w33, x, bx, row0_g, side: int, sweeps: int,
+                        omega: float, symmetric: bool):
+    """Core masked color steps on an arbitrary row window.
+
+    x/bx: (R, n) slabs whose row r is global row ``row0_g + r`` (traced
+    offset). Rows outside [0, side) are masked off (zero-padding boundary
+    semantics); rows near the window edges are left invalid for the caller
+    to discard (ghost-zone blocking)."""
+    R, n = x.shape
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (R, n), 0) + row0_g
+    col_g = jax.lax.broadcasted_iota(jnp.int32, (R, n), 1)
+    valid = (row_g >= 0) & (row_g < side)
+    row_par = row_g % 2
+    col_par = col_g % 2
+    inv_diag = 1.0 / w33[1][1]
+    order = list(_COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    for _ in range(sweeps):
+        for pj, pi in order:
+            r = bx - _conv9_const(w33, x)
+            mask = (row_par == pj) & (col_par == pi) & valid
+            x = x + jnp.where(mask, omega * r * inv_diag, 0.0)
+    return x
+
+
 def _gs4_sweep_ghost_const(w33, u_loc, b_loc, side: int, sweeps: int,
                            omega: float, symmetric: bool, D: int):
     """``sweeps`` four-color GS sweeps with ONE ghost-strip exchange.
@@ -162,25 +188,61 @@ def _gs4_sweep_ghost_const(w33, u_loc, b_loc, side: int, sweeps: int,
     if G % 2:
         G += 1  # keep parity alignment
     u_ext, b_ext = _exchange_strips(u_loc, b_loc, G, D)
-    R = B + 2 * G
     dev = lax.axis_index(AXIS)
-    row_g = (jax.lax.broadcasted_iota(jnp.int32, (R, n), 0)
-             + dev * B - G)
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (R, n), 1)
-    valid = (row_g >= 0) & (row_g < side)
-    row_par = row_g % 2
-    col_par = col_g % 2
-    inv_diag = 1.0 / w33[1][1]
-
-    order = list(_COLORS)
-    if symmetric:
-        order = order + order[::-1]
-    for _ in range(sweeps):
-        for pj, pi in order:
-            r = b_ext - _conv9_const(w33, u_ext)
-            mask = (row_par == pj) & (col_par == pi) & valid
-            u_ext = u_ext + jnp.where(mask, omega * r * inv_diag, 0.0)
+    u_ext = _masked_steps_const(w33, u_ext, b_ext, dev * B - G, side,
+                                sweeps, omega, symmetric)
     return u_ext, b_ext, G
+
+
+def _gs4_sweep_overlap_const(w33, u_loc, b_loc, side: int, sweeps: int,
+                             omega: float, symmetric: bool, D: int):
+    """Compute-OVERLAPPED variant of the ghost-strip sweep.
+
+    The bulk of the slab never needs neighbor data through M = 8*sweeps
+    color steps, so it is swept from purely local inputs while the
+    ghost-strip ppermute is in flight; only two thin boundary bands
+    (3M+2 rows each) consume the received strips. Expressing the sweep this
+    way removes the data dependency collective -> interior compute, letting
+    XLA's async collective-permute scheduler hide the exchange entirely
+    behind the interior sweep (the TPU-native form of the NCCL
+    p2p/compute-overlap pattern named in SURVEY.md §2/§5). Bitwise-equal
+    outputs to _gs4_sweep_ghost_const.
+
+    Returns (u_ext, b_ext, G) in the same layout as the ghost sweep.
+    """
+    B, n = u_loc.shape
+    M = (8 if symmetric else 4) * sweeps
+    G = M + 2
+    if G % 2:
+        G += 1
+    if B < 2 * M:  # slab too thin to split — bands would cover it anyway
+        return _gs4_sweep_ghost_const(w33, u_loc, b_loc, side, sweeps,
+                                      omega, symmetric, D)
+    dev = lax.axis_index(AXIS)
+    row0 = dev * B
+    # exchange launches first; nothing below depends on it until the bands
+    u_ext_in, b_ext_in = _exchange_strips(u_loc, b_loc, G, D)
+    # interior: local-only sweep, valid on rows [M, B-M)
+    u_local = _masked_steps_const(w33, u_loc, b_loc, row0, side, sweeps,
+                                  omega, symmetric)
+    # top band: final local rows [-G, M) (uses top ghosts + u_loc[:2M))
+    H = G + 2 * M
+    top_in_u = u_ext_in[:H]
+    top_in_b = b_ext_in[:H]
+    top = _masked_steps_const(w33, top_in_u, top_in_b, row0 - G, side,
+                              sweeps, omega, symmetric)
+    # bottom band: final local rows [B-M, B+G)
+    bot_in_u = u_ext_in[B + 2 * G - H:]
+    bot_in_b = b_ext_in[B + 2 * G - H:]
+    bot = _masked_steps_const(w33, bot_in_u, bot_in_b,
+                              row0 + B + G - H, side, sweeps, omega,
+                              symmetric)
+    # assemble the extended result: [-G, M) from top band, [M, B-M) from
+    # the local sweep, [B-M, B+G) from the bottom band. Only rows
+    # [-2, B+2) are contract-valid (same as the ghost sweep).
+    u_ext = jnp.concatenate([top[:G + M], u_local[M:B - M],
+                             bot[H - (G + M):]], axis=0)
+    return u_ext, b_ext_in, G
 
 
 def _matvec_const(w33, u_loc, side: int, B: int, D: int):
@@ -352,9 +414,11 @@ class DistConfig:
     # per sharded level: 3x3 constant-stencil weight tuple, or None when the
     # level has variable coefficients (→ per-color-step halo fallback)
     w33s: tuple = ()
-    # 'sweep' = one ghost-strip exchange per sweep (const levels only);
-    # 'step' = reference-style exchange before every color step
-    halo: str = "sweep"
+    # 'overlap' = one ghost-strip exchange per sweep, hidden behind the
+    # interior compute (const levels only; default); 'sweep' = same
+    # exchange without the overlap restructuring; 'step' =
+    # reference-style exchange before every color step
+    halo: str = "overlap"
 
 
 def plan_distribution(side: int, n_levels: int, n_devices: int,
@@ -469,13 +533,18 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
     bs = [None] * Ls
     us[0], bs[0] = u_loc, b_loc
 
+    ghost_fns = {"sweep": _gs4_sweep_ghost_const,
+                 "overlap": _gs4_sweep_overlap_const}
+    ghost_fn = ghost_fns.get(cfg.halo)
+
     def smooth_only(l, u, b, sweeps):
-        """Post-smooth: ghost-strip path (1 exchange/sweep) on constant
-        levels, per-color-step exchange otherwise."""
+        """Post-smooth: ghost-strip path (1 exchange/sweep; 'overlap'
+        additionally hides it behind interior compute) on constant levels,
+        per-color-step exchange otherwise."""
         w33 = cfg.w33s[l]
-        if cfg.halo == "sweep" and w33 is not None:
+        if ghost_fn is not None and w33 is not None:
             B = cfg.blocks[l]
-            u_ext, _, G = _gs4_sweep_ghost_const(
+            u_ext, _, G = ghost_fn(
                 w33, u, b, cfg.sides[l], sweeps, cfg.omega, cfg.symmetric, D)
             return u_ext[G:G + B]
         for _ in range(sweeps):
@@ -488,11 +557,11 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
         w33 = cfg.w33s[l]
         nc_real = cfg.sides[l + 1]
         Bc = cfg.blocks[l + 1] if l < Ls - 1 else cfg.blocks[l] // 2
-        if cfg.halo == "sweep" and w33 is not None:
+        if ghost_fn is not None and w33 is not None:
             # one exchange covers pre-smooth + residual + restriction:
             # post-sweep ghost rows at distance <= 2 are still exact
             B = cfg.blocks[l]
-            u_ext, b_ext, G = _gs4_sweep_ghost_const(
+            u_ext, b_ext, G = ghost_fn(
                 w33, us[l], bs[l], cfg.sides[l], cfg.pre_sweeps, cfg.omega,
                 cfg.symmetric, D)
             us[l] = u_ext[G:G + B]
@@ -545,7 +614,7 @@ class DistStructuredSolver:
                  n_devices: int | None = None, dtype=jnp.float32,
                  pre_sweeps: int = 1, post_sweeps: int = 1,
                  omega: float = 1.0, symmetric: bool = True, A_fine=None,
-                 halo: str = "sweep", force_var: bool = False,
+                 halo: str = "overlap", force_var: bool = False,
                  cycles_per_refine: int = 2):
         cfg, coeffs, sub_hier = build_dist_hierarchy(
             side, n_levels, n_devices, dtype, A_fine, force_var=force_var)
