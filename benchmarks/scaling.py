@@ -30,10 +30,12 @@ from amg_tpu.models import poisson
 from amg_tpu.parallel.structured_dist import DistStructuredSolver
 
 
-def bench_devices(side: int, D: int, iters: int = 20) -> float:
+def bench_devices(side: int, D: int, iters: int = 20,
+                  halo: str = "overlap", force_var: bool = False) -> float:
     dtype = (jnp.float32 if jax.devices()[0].platform != "cpu"
              else jnp.float64)
-    solver = DistStructuredSolver(side, n_devices=D, dtype=dtype)
+    solver = DistStructuredSolver(side, n_devices=D, dtype=dtype,
+                                  halo=halo, force_var=force_var)
     b2 = poisson.rhs(side, dtype=dtype).reshape(side, side)
     b_pad = solver.pad_field(b2)
     u = jnp.zeros_like(b_pad)
@@ -61,6 +63,18 @@ def main():
                          scaling_efficiency=round(eff, 3)))
         print(json.dumps({"scenario": "scaling", "side": side, **rows[-1]}),
               flush=True)
+
+    # halo-mode comparison at the largest device count (VERDICT round-1
+    # item 4: the measured win of one-exchange-per-sweep + overlap over the
+    # reference-style exchange-per-color-step)
+    D = counts[-1]
+    if D >= 2:
+        for halo, fv in (("step", True), ("sweep", False),
+                         ("overlap", False)):
+            t = bench_devices(side, D, halo=halo, force_var=fv)
+            print(json.dumps({"scenario": "halo_mode", "side": side,
+                              "n_devices": D, "halo": halo,
+                              "vcycle_ms": round(t * 1e3, 3)}), flush=True)
 
 
 if __name__ == "__main__":
