@@ -59,6 +59,57 @@ def load_stencil_hierarchy(path: str, dtype=None):
                             sides=sides, smoother=smoother)
 
 
+def save_hierarchy(path: str, hier) -> None:
+    """Serialize an ELL ``multigrid.Hierarchy`` — the general path's
+    expensive setup product (level operators + transfers from the Galerkin
+    SpGEMM chain, multigrid.hpp:211-243)."""
+    from amg_tpu.multigrid import Hierarchy
+
+    assert isinstance(hier, Hierarchy)
+    arrs = {"n_levels": np.asarray(hier.n_levels)}
+    for i, lev in enumerate(hier.levels):
+        arrs[f"A{i}_data"] = np.asarray(lev.A.data)
+        arrs[f"A{i}_cols"] = np.asarray(lev.A.cols)
+        arrs[f"A{i}_shape"] = np.asarray(lev.A.shape)
+        if lev.P is not None:
+            arrs[f"P{i}_data"] = np.asarray(lev.P.data)
+            arrs[f"P{i}_cols"] = np.asarray(lev.P.cols)
+            arrs[f"P{i}_shape"] = np.asarray(lev.P.shape)
+            arrs[f"R{i}_data"] = np.asarray(lev.R.data)
+            arrs[f"R{i}_cols"] = np.asarray(lev.R.cols)
+            arrs[f"R{i}_shape"] = np.asarray(lev.R.shape)
+    np.savez_compressed(path, **arrs)
+
+
+def load_hierarchy(path: str, smoother=None):
+    """Reload an ELL hierarchy; the smoother's per-level state (host
+    coloring — cheap, pattern-based) and the coarse LU are rebuilt."""
+    from amg_tpu.multigrid import Hierarchy, Level
+    from amg_tpu.ops.coarse import setup_coarse_solver
+    from amg_tpu.ops.smoothers import MulticolorGaussSeidel
+    from amg_tpu.sparse.ell import ELL
+
+    if smoother is None:
+        smoother = MulticolorGaussSeidel()
+    z = np.load(path)
+    n_levels = int(z["n_levels"])
+
+    def ell(prefix):
+        return ELL(data=jnp.asarray(z[f"{prefix}_data"]),
+                   cols=jnp.asarray(z[f"{prefix}_cols"]),
+                   shape=tuple(int(s) for s in z[f"{prefix}_shape"]))
+
+    levels = []
+    for i in range(n_levels):
+        A = ell(f"A{i}")
+        P = ell(f"P{i}") if f"P{i}_data" in z else None
+        R = ell(f"R{i}") if f"R{i}_data" in z else None
+        levels.append(Level(A=A, P=P, R=R,
+                            smoother_state=smoother.setup(A)))
+    coarse = setup_coarse_solver(levels[-1].A)
+    return Hierarchy(levels=tuple(levels), coarse=coarse)
+
+
 def save_solution(path: str, u, iteration: int, error: float) -> None:
     np.savez_compressed(path, u=np.asarray(u), iteration=iteration,
                         error=error)

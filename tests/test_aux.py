@@ -102,3 +102,24 @@ def test_api_docs_generator(tmp_path):
     text = (tmp_path / "amg_tpu_structured.md").read_text()
     assert "StencilHierarchy" in text
     assert (tmp_path / "index.md").exists()
+
+
+def test_ell_hierarchy_checkpoint_roundtrip(tmp_path):
+    """The general (ELL) hierarchy — the expensive Galerkin setup product —
+    round-trips through save/load and solves identically."""
+    from amg_tpu.multigrid import build_hierarchy, solve
+    from amg_tpu.ops.smoothers import MulticolorGaussSeidel
+
+    A, b = poisson.poisson2d(20)
+    sm = MulticolorGaussSeidel()
+    hier = build_hierarchy(A, 4, smoother=sm)
+    path = str(tmp_path / "ell_hier.npz")
+    checkpoint.save_hierarchy(path, hier)
+    loaded = checkpoint.load_hierarchy(path, smoother=sm)
+    assert loaded.n_levels == hier.n_levels
+    r1 = solve(hier, sm, b, tolerance=1e-9,
+               compute_error_every_n_iters=1)
+    r2 = solve(loaded, sm, b, tolerance=1e-9,
+               compute_error_every_n_iters=1)
+    assert r1.iterations == r2.iterations
+    np.testing.assert_array_equal(np.asarray(r1.u), np.asarray(r2.u))
