@@ -148,6 +148,36 @@ def df_residual(c_df: DF32, b_df: DF32, u_df: DF32) -> DF32:
     return df_add(b_df, df_neg(acc))
 
 
+def df_residual_const(w33, b_df: DF32, u_df: DF32) -> DF32:
+    """r = b - A u in df32 for a CONSTANT 3x3 stencil (Stencil2D.w33).
+
+    Each weight enters as an exact (hi, lo) float pair — compile-time
+    constants — so the residual reads only u and b from HBM: 18 fewer
+    field reads per refinement step than the plane-based df_residual.
+    Zero padding supplies the boundary truncation exactly as in
+    Stencil2D.matvec2.
+    """
+    import numpy as np
+
+    n = u_df.hi.shape[0]
+    pad = lambda x: jnp.pad(x, 1)
+    uh, ul = pad(u_df.hi), pad(u_df.lo)
+    acc = DF32.from_f32(jnp.zeros_like(u_df.hi))
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            w = w33[dj + 1][di + 1]
+            if w == 0.0:
+                continue
+            w_hi = float(np.float32(w))
+            w_lo = float(np.float32(w - w_hi))
+            sl = lambda z: jax.lax.slice(z, (1 + dj, 1 + di),
+                                         (1 + dj + n, 1 + di + n))
+            term = df_mul(DF32(hi=jnp.float32(w_hi), lo=jnp.float32(w_lo)),
+                          DF32(hi=sl(uh), lo=sl(ul)))
+            acc = df_add(acc, term)
+    return df_add(b_df, df_neg(acc))
+
+
 def df_rss(r_df: DF32, dtype=None):
     """Residual sum of squares of a df32 residual, accumulated in f64.
 

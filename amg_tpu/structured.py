@@ -502,6 +502,8 @@ class StructuredSolver:
             # (~25 ms through a remote-TPU tunnel)
             return u, jnp.stack([final_err, it.astype(jnp.float64)])
 
+        A64_w33 = A64.w33
+
         @partial(jax.jit, static_argnums=(4,))
         def solve_loop_df32(h, A_c_df, b64, tol, n_refine):
             """Defect-correction solve with the f64 residual replaced by
@@ -509,11 +511,19 @@ class StructuredSolver:
             f64 hardware, so the emulated-f64 residual matvec dominated the
             f64 loop (~85% of solve wall); the df32 residual gives ~2^-48
             relative accuracy at plain-VPU f32 speed. Same lagged-error
-            loop shape as solve_loop_f64."""
+            loop shape as solve_loop_f64. Constant-stencil fine operators
+            use exact scalar (hi, lo) weight pairs — the residual then
+            reads no coefficient planes at all."""
             from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
-                                                 df_residual, df_rss)
+                                                 df_residual,
+                                                 df_residual_const, df_rss)
 
             b_df = DF32.from_f64(b64)
+
+            def residual(u):
+                if A64_w33 is not None:
+                    return df_residual_const(A64_w33, b_df, u)
+                return df_residual(A_c_df, b_df, u)
 
             def cond(state):
                 u, err, it = state
@@ -521,7 +531,7 @@ class StructuredSolver:
 
             def body(state):
                 u, _, it = state
-                r = df_residual(A_c_df, b_df, u)
+                r = residual(u)
                 err = df_rss(r)
                 e = cycles32(h, jnp.zeros_like(r.hi), r.hi)
                 return df_add_f32(u, e), err, it + 1
@@ -535,7 +545,7 @@ class StructuredSolver:
             init = (u0, jnp.asarray(jnp.inf, dtype=jnp.float64),
                     jnp.asarray(0, dtype=jnp.int32))
             u, _, it = jax.lax.while_loop(cond, body, init)
-            final_err = df_rss(df_residual(A_c_df, b_df, u))
+            final_err = df_rss(residual(u))
             return u.to_f64(), jnp.stack([final_err,
                                           it.astype(jnp.float64)])
 

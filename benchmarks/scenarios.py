@@ -90,11 +90,15 @@ def large_multicolor():
     u = run(u)
     jax.block_until_ready(u)
     t = (time.perf_counter() - t0) / 50
-    nnz = 9 * (side - 2) ** 2 + 6 * 4 * (side - 2) + 4 * 4  # ~9-pt f32 level
     nnz = int(np.count_nonzero(np.asarray(S.c)))
+    from amg_tpu.utils.profiling import Roofline
+
+    # const-stencil sweep traffic: 8 color steps x (read u, b; write u)
+    sol_s = 8 * 3 * side * side * 4 / (Roofline().hbm_gbps * 1e9)
     emit(scenario="large_multicolor", metric="sym_sweep_nnz_per_s",
          value=round(2 * nnz / t / 1e9, 2), unit="Gnnz/s", side=side,
-         sweep_ms=round(t * 1e3, 3))
+         sweep_ms=round(t * 1e3, 3),
+         sol_pct=round(100 * sol_s / t, 1))
 
 
 def rap_rebuild():
