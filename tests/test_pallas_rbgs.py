@@ -14,7 +14,12 @@ from amg_tpu.sparse.stencil import Stencil2D, color_masks, gs4_sweep, \
     gs4_sweep_masked
 
 
-def _check(S, side, dtype=jnp.float64, omega=1.0, symmetric=True, tr=16):
+def _check(S, side, dtype=jnp.float64, omega=1.0, symmetric=True, tr=16,
+           const=True):
+    import dataclasses
+
+    if not const:
+        S = dataclasses.replace(S, w33=None)  # force the variable path
     rng = np.random.default_rng(side)
     u0 = jnp.asarray(rng.standard_normal((side, side)), dtype=dtype)
     b2 = jnp.asarray(rng.standard_normal((side, side)), dtype=dtype)
@@ -31,28 +36,48 @@ def _check(S, side, dtype=jnp.float64, omega=1.0, symmetric=True, tr=16):
                                rtol=1e-12, atol=1e-12)
 
 
-def test_fused_sweep_matches_reference_5pt():
+@pytest.mark.parametrize("const", [True, False],
+                         ids=["const-w33", "variable-planes"])
+def test_fused_sweep_matches_reference_5pt(const):
     side = 33
     S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
                              dtype=jnp.float64)
-    _check(S, side)
+    assert S.w33 is not None  # detection must fire for Poisson
+    _check(S, side, const=const)
 
 
-def test_fused_sweep_matches_reference_9pt_galerkin():
+@pytest.mark.parametrize("const", [True, False],
+                         ids=["const-w33", "variable-planes"])
+def test_fused_sweep_matches_reference_9pt_galerkin(const):
     side_f, side_c = 63, 31
     A = poisson.laplacian_scipy(side_f)
     P1 = linear_interp_1d(side_f, side_c)
     P = sp.kron(P1, P1).tocsr()
     A_H = (P.T @ (A @ P)).tocsr()
     S = Stencil2D.from_scipy(A_H, side_c, dtype=jnp.float64)
-    _check(S, side_c)
+    _check(S, side_c, const=const)
 
 
-def test_fused_sweep_omega_and_forward_only():
+def test_fused_sweep_truly_variable_coefficients():
+    """A non-constant operator (randomly perturbed symmetric 9-point) must
+    route to the variable-coefficient kernel and still match."""
+    side = 31
+    A = poisson.laplacian_scipy(side)
+    rng = np.random.default_rng(7)
+    D = sp.diags(1.0 + 0.2 * rng.standard_normal(side * side))
+    A_var = (D @ A @ D).tocsr()  # symmetric, same 9-point pattern
+    S = Stencil2D.from_scipy(A_var, side, dtype=jnp.float64)
+    assert S.w33 is None
+    _check(S, side)
+
+
+@pytest.mark.parametrize("const", [True, False],
+                         ids=["const-w33", "variable-planes"])
+def test_fused_sweep_omega_and_forward_only(const):
     side = 31
     S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
                              dtype=jnp.float64)
-    _check(S, side, omega=1.4, symmetric=False)
+    _check(S, side, omega=1.4, symmetric=False, const=const)
 
 
 def test_fused_sweep_multiple_tile_sizes():
@@ -79,16 +104,23 @@ def test_masked_sweep_matches_strided():
                                atol=1e-14)
 
 
-def test_fused_sweep_double_buffered_matches():
+@pytest.mark.parametrize("const", [True, False],
+                         ids=["const-w33", "variable-planes"])
+def test_fused_sweep_double_buffered_matches(const):
+    import dataclasses
+
     side = 33
     S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
                              dtype=jnp.float64)
+    if not const:
+        S = dataclasses.replace(S, w33=None)
     rng = np.random.default_rng(5)
     u0 = jnp.asarray(rng.standard_normal((side, side)))
     b2 = jnp.asarray(rng.standard_normal((side, side)))
     ref = gs4_sweep(S, u0, b2)
     for tr in (8, 16):
-        ps = PaddedStencil.prepare(S, tr=tr, dtype=jnp.float64)
+        ps = PaddedStencil.prepare(S, tr=tr, dtype=jnp.float64,
+                                   double_buffer=True)
         out = fused_gs4_sweep(ps, ps.pad_field(u0), ps.pad_field(b2),
                               interpret=True, double_buffer=True)
         np.testing.assert_allclose(np.asarray(ps.unpad_field(out)),
