@@ -689,8 +689,55 @@ class DistStructuredSolver:
                 in_specs=(spec_coeffs, P(), spec_field, spec_field,
                           spec_field, spec_field),
                 out_specs=(spec_field, spec_field, P())))
+
+            def solve_fn(coeffs_, sub_hier_, bh, bl, tol, n_refine):
+                """Whole defect-correction solve as ONE device program
+                (lax.while_loop with the collectives inside): no host
+                round-trip per refinement step — the distributed analog of
+                structured.solve_loop_df32. Lagged-error loop: the carried
+                err is the rss BEFORE the latest correction, so it may run
+                one refinement past convergence; exact rss recomputed
+                after exit."""
+                b_df = DF32(hi=bh, lo=bl)
+
+                def residual(u_df):
+                    return _df_residual_const(w0, b_df, u_df, side0, B0,
+                                              cfg.n_devices)
+
+                def cond(s):
+                    _, _, err, it = s
+                    return (err > tol) & (it < n_refine)
+
+                def body(s):
+                    uh, ul, _, it = s
+                    r = residual(DF32(hi=uh, lo=ul))
+                    err = lax.psum(df_rss(r), AXIS)
+                    e = jnp.zeros_like(uh)
+                    for _ in range(cycles_per_refine):
+                        e = _vcycle_local(cfg, coeffs_, sub_hier_, e, r.hi)
+                    u_next = df_add_f32(DF32(hi=uh, lo=ul), e)
+                    return u_next.hi, u_next.lo, err, it + 1
+
+                err_dt = (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+                init = (jnp.zeros_like(bh), jnp.zeros_like(bh),
+                        jnp.asarray(jnp.inf, dtype=err_dt),
+                        jnp.asarray(0, dtype=jnp.int32))
+                uh, ul, _, it = lax.while_loop(cond, body, init)
+                final_err = lax.psum(
+                    df_rss(residual(DF32(hi=uh, lo=ul))), AXIS)
+                stats = jnp.stack([final_err,
+                                   it.astype(err_dt)])
+                return uh, ul, stats
+
+            self._solve_device = jax.jit(jax.shard_map(
+                solve_fn, mesh=self.mesh,
+                in_specs=(spec_coeffs, P(), spec_field, spec_field,
+                          P(), P()),
+                out_specs=(spec_field, spec_field, P())))
         else:
             self._refine = None
+            self._solve_device = None
 
     def pad_field(self, f2: jnp.ndarray) -> jnp.ndarray:
         """(side, side) -> sharded (n_pad, side)."""
@@ -731,6 +778,50 @@ class DistStructuredSolver:
         return SolveResult(u=self.unpad(u), iterations=it, error=error,
                            converged=error <= tolerance, history=history)
 
+    def _split_b(self, b2):
+        b = jnp.asarray(b2)
+        if b.dtype == jnp.float64:
+            bh_full = b.astype(jnp.float32)
+            bl_full = (b - bh_full.astype(jnp.float64)).astype(jnp.float32)
+        else:
+            bh_full = b.astype(jnp.float32)
+            bl_full = jnp.zeros_like(bh_full)
+        return self.pad_field(bh_full), self.pad_field(bl_full)
+
+    def solve_ir_device(self, b2, tolerance=1e-9, n_refine: int = 40):
+        """One-dispatch device-resident mixed-precision solve: the whole
+        defect-correction loop (df32 residual + psum'd rss + sharded
+        V-cycles) runs inside a single jitted shard_map program with a
+        lax.while_loop — no host synchronization per refinement step.
+        Returns ((u_hi, u_lo) padded shards, stats=[final_rss, n_steps])."""
+        if self._solve_device is None:
+            raise NotImplementedError(
+                "solve_ir_device requires a constant-stencil fine level")
+        bh, bl = self._split_b(b2)
+        err_dt = (jnp.float64 if jax.config.jax_enable_x64
+                  else jnp.float32)
+        return self._solve_device(self.coeffs, self.sub_hier, bh, bl,
+                                  jnp.asarray(tolerance, dtype=err_dt),
+                                  jnp.asarray(n_refine, dtype=jnp.int32))
+
+    def solve_ir_fused(self, b2, tolerance=1e-9,
+                       n_refine: int = 40) -> SolveResult:
+        """solve_ir_device + one packed stats fetch (the distributed
+        analog of StructuredSolver.solve_ir_fused)."""
+        uh, ul, stats = self.solve_ir_device(b2, tolerance, n_refine)
+        err_v, it_v = np.asarray(stats)
+        error = float(err_v)
+        iters = int(it_v) * self.cycles_per_refine
+        u_hi = self.unpad(uh)
+        u_lo = self.unpad(ul)
+        if jax.config.jax_enable_x64:
+            u = u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
+        else:
+            u = u_hi
+        return SolveResult(u=u, iterations=iters, error=error,
+                           converged=error <= tolerance,
+                           history=[(iters, error)])
+
     def solve_ir(self, b2, tolerance=1e-9, n_refine: int = 40
                  ) -> SolveResult:
         """Mixed-precision distributed solve: df32 defect correction around
@@ -743,15 +834,7 @@ class DistStructuredSolver:
                 "solve_ir requires a constant-stencil fine level; use "
                 "solve() or the ELL distributed path for variable "
                 "coefficients")
-        b = jnp.asarray(b2)
-        if b.dtype == jnp.float64:
-            bh_full = b.astype(jnp.float32)
-            bl_full = (b - bh_full.astype(jnp.float64)).astype(jnp.float32)
-        else:
-            bh_full = b.astype(jnp.float32)
-            bl_full = jnp.zeros_like(bh_full)
-        bh = self.pad_field(bh_full)
-        bl = self.pad_field(bl_full)
+        bh, bl = self._split_b(b2)
         uh = jnp.zeros_like(bh)
         ul = jnp.zeros_like(bh)
         history = []

@@ -181,3 +181,19 @@ def test_dist_vcycle_hlo_contains_expected_collectives():
     rss_hlo = solver._rss.lower(solver.coeffs[0], u, b_pad
                                 ).compile().as_text()
     assert "all-reduce" in rss_hlo
+
+
+def test_dist_solve_ir_device_matches_host_loop():
+    """The one-dispatch while_loop solve (collectives inside the loop) must
+    reach the same tolerance as the host-stepped refine loop; the lagged
+    error may run it one refinement further."""
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s = DistStructuredSolver(side, n_devices=8)
+    res_host = s.solve_ir(b2, tolerance=1e-9)
+    res_dev = s.solve_ir_fused(b2, tolerance=1e-9)
+    assert res_dev.converged and res_dev.error <= 1e-9
+    assert abs(res_dev.iterations - res_host.iterations) <= \
+        2 * s.cycles_per_refine
+    np.testing.assert_allclose(np.asarray(res_dev.u),
+                               np.asarray(res_host.u), rtol=0, atol=1e-9)
