@@ -69,14 +69,20 @@ def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
     W, M = B.shape
     inv_diag = 1.0 / w33[1][1]
 
-    row_g = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) + row0
-    col_g = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1)
+    # all index arithmetic pinned to int32: under jax_enable_x64 a weak
+    # Python literal can promote to int64, which Pallas TPU lowering
+    # rejects (and jnp's astype fallback recurses infinitely)
+    i32 = jnp.int32
+    row_g = (jax.lax.broadcasted_iota(i32, (W, M), 0)
+             + jnp.asarray(row0, dtype=i32))
+    col_g = jax.lax.broadcasted_iota(i32, (W, M), 1)
     # real row = row_g - G1, real col = col_g - COL_PAD_LEFT; both offsets
     # even, so local parity == real parity.
-    valid = ((row_g >= G1) & (row_g < G1 + side)
-             & (col_g >= COL_PAD_LEFT) & (col_g < COL_PAD_LEFT + side))
-    row_par = row_g % 2
-    col_par = col_g % 2
+    valid = ((row_g >= i32(G1)) & (row_g < i32(G1 + side))
+             & (col_g >= i32(COL_PAD_LEFT))
+             & (col_g < i32(COL_PAD_LEFT + side)))
+    row_par = row_g % i32(2)
+    col_par = col_g % i32(2)
 
     n_steps = 8 if symmetric else 4
 
@@ -84,9 +90,10 @@ def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
     # measured faster than static unrolling on v5e). Zero weights — e.g.
     # the 5-point fine level's corners — drop their rolls at trace time.
     def step(s, U):
-        idx = jnp.where(s < 4, s, 7 - s)
-        pj = idx // 2
-        pi = idx % 2
+        s = jnp.asarray(s, dtype=i32)
+        idx = jnp.where(s < i32(4), s, i32(7) - s)
+        pj = idx // i32(2)
+        pi = idx % i32(2)
         acc = jnp.zeros_like(U)
         for di in (-1, 0, 1):
             if all(w33[dj + 1][di + 1] == 0.0
@@ -115,8 +122,10 @@ def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
 
     # Static parity masks: real row parity of local row l is l % 2 (row0 and
     # G1 even); real col parity of local col c is c % 2 (COL_PAD_LEFT = 2).
-    row_par = jax.lax.broadcasted_iota(jnp.int32, (W, M), 0) % 2
-    col_par = jax.lax.broadcasted_iota(jnp.int32, (W, M), 1) % 2
+    # int32-pinned arithmetic: see the x64-promotion note in the const body.
+    i32 = jnp.int32
+    row_par = jax.lax.broadcasted_iota(i32, (W, M), 0) % i32(2)
+    col_par = jax.lax.broadcasted_iota(i32, (W, M), 1) % i32(2)
 
     n_steps = 8 if symmetric else 4
 
@@ -124,9 +133,10 @@ def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
     # Color sequence 00,01,10,11 then mirrored: index arithmetic on the
     # step counter avoids captured constant arrays.
     def step(s, U):
-        idx = jnp.where(s < 4, s, 7 - s)
-        pj = idx // 2
-        pi = idx % 2
+        s = jnp.asarray(s, dtype=i32)
+        idx = jnp.where(s < i32(4), s, i32(7) - s)
+        pj = idx // i32(2)
+        pi = idx % i32(2)
         acc = jnp.zeros_like(U)
         for k, (dj, di) in enumerate(_OFFSETS):
             plane = k if k < 4 else k + 1  # skip center plane
