@@ -90,7 +90,6 @@ def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
     # measured faster than static unrolling on v5e). Zero weights — e.g.
     # the 5-point fine level's corners — drop their rolls at trace time.
     def step(s, U):
-        s = jnp.asarray(s, dtype=i32)
         idx = jnp.where(s < i32(4), s, i32(7) - s)
         pj = idx // i32(2)
         pi = idx % i32(2)
@@ -111,7 +110,7 @@ def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
         mask = (row_par == pj) & (col_par == pi) & valid
         return U + jnp.where(mask, omega * delta, 0.0)
 
-    Us[:] = jax.lax.fori_loop(0, n_steps, step, Us[:])
+    Us[:] = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), step, Us[:])
 
 
 def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
@@ -133,7 +132,6 @@ def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
     # Color sequence 00,01,10,11 then mirrored: index arithmetic on the
     # step counter avoids captured constant arrays.
     def step(s, U):
-        s = jnp.asarray(s, dtype=i32)
         idx = jnp.where(s < i32(4), s, i32(7) - s)
         pj = idx // i32(2)
         pi = idx % i32(2)
@@ -145,7 +143,7 @@ def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
         mask = ((row_par == pj) & (col_par == pi)).astype(U.dtype)
         return U + (omega * mask) * delta
 
-    Us[:] = jax.lax.fori_loop(0, n_steps, step, Us[:])
+    Us[:] = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), step, Us[:])
 
 
 def _copy_margins(u_hbm, out_hbm, sems, t, n_tiles: int, rows: int):

@@ -201,6 +201,13 @@ def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
         for _ in range(sweeps):
             u2 = gs4_sweep(S, u2, b2, omega, symmetric)
         return u2
+    if hier.smoother == "chebyshev" and S.w33 is not None:
+        from amg_tpu.sparse.stencil import chebyshev_smooth, const_lam_max
+
+        lam = const_lam_max(S.w33)  # static float (compile-time)
+        for _ in range(sweeps):
+            u2 = chebyshev_smooth(S, u2, b2, lam, degree=4)
+        return u2
     if hier.smoother == "fused" and hier.padded[l] is not None:
         from amg_tpu.ops.pallas.rbgs import fused_gs4_sweep
 
@@ -423,7 +430,8 @@ class StructuredSolver:
 
         self.side = side
         if device_setup is None:
-            device_setup = A_fine is None and smoother == "masked"
+            device_setup = (A_fine is None
+                            and smoother in ("masked", "chebyshev"))
         if device_setup and A_fine is None:
             self.hier = build_stencil_hierarchy_device(side, n_levels,
                                                        smoother=smoother)

@@ -260,3 +260,40 @@ def test_fmg_solver_converges_fewer_refines():
     u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
     np.testing.assert_allclose(np.asarray(r1.u).reshape(-1), u_direct,
                                rtol=0, atol=1e-7)
+
+
+def test_chebyshev_smoother_converges_faster_per_cycle():
+    """Chebyshev(4) V-cycles (PAPERS.md polynomial-smoother extension) must
+    converge in no more cycles than symmetric four-color GS at half the
+    smoothing passes per cycle."""
+    import jax.numpy as jnp
+    from amg_tpu.models import poisson
+    from amg_tpu.structured import build_stencil_hierarchy, solve_stencil
+
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    iters = {}
+    for sm in ("masked", "chebyshev"):
+        hier = build_stencil_hierarchy(side, dtype=jnp.float64, smoother=sm)
+        res = solve_stencil(hier, b2, tolerance=1e-9,
+                            compute_error_every_n_iters=1)
+        assert res.converged, sm
+        iters[sm] = res.iterations
+    assert iters["chebyshev"] <= iters["masked"], iters
+
+
+def test_const_lam_max_bounds_spectrum():
+    """The analytic Fourier-corner bound dominates the true spectral radius
+    of D^-1 A on every level (dense eigenvalues, small case)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from amg_tpu.structured import build_stencil_hierarchy
+    from amg_tpu.sparse.stencil import const_lam_max
+
+    hier = build_stencil_hierarchy(31, dtype=jnp.float64)
+    for S in hier.levels:
+        A = S.to_scipy().toarray()
+        d = np.diag(A)
+        lam = np.max(np.abs(np.linalg.eigvals(A / d[:, None])))
+        bound = const_lam_max(S.w33)
+        assert lam <= bound + 1e-12, (S.side, lam, bound)
