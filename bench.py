@@ -234,23 +234,35 @@ def tpu_solve_2047():
     return t
 
 
+def _stage(fn, name):
+    """Auxiliary stages must not kill the headline metric: report their
+    failure in extras instead (the driver needs the JSON line)."""
+    try:
+        return fn(), None
+    except Exception as e:  # noqa: BLE001 — reported, not swallowed
+        log(f"stage {name} FAILED: {type(e).__name__}: {e}")
+        return None, f"{type(e).__name__}: {str(e)[:300]}"
+
+
 def main():
-    gate = pallas_hardware_gate()
-    sol = sweep_sol_stats()
-    tpu_secs, res = tpu_solve()
-    t2047 = tpu_solve_2047()
-    cpu_secs = cpu_baseline()
+    gate, gate_err = _stage(pallas_hardware_gate, "pallas_gate")
+    sol, sol_err = _stage(sweep_sol_stats, "sweep_sol")
+    tpu_secs, res = tpu_solve()  # the headline — failures here are fatal
+    t2047, t2047_err = _stage(tpu_solve_2047, "solve_2047")
+    cpu_secs, _ = _stage(cpu_baseline, "cpu_baseline")
     vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
+    extras = {}
+    extras["solve_2047_s"] = (round(t2047, 5) if t2047 is not None
+                              else t2047_err)
+    extras["sweep_sol"] = sol if sol is not None else sol_err
+    extras["pallas_hw_parity_maxdiff"] = (
+        max(gate.values()) if gate else gate_err)
     print(json.dumps({
         "metric": f"poisson2d_{SIDE}x{SIDE}_amg_solve_rss1e-7_wall",
         "value": round(tpu_secs, 5),
         "unit": "s",
         "vs_baseline": round(vs, 2),
-        "extras": {
-            "solve_2047_s": round(t2047, 5),
-            "sweep_sol": sol,
-            "pallas_hw_parity_maxdiff": max(gate.values()),
-        },
+        "extras": extras,
     }), flush=True)
 
 
