@@ -108,7 +108,11 @@ def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
                 acc = acc + w * (_roll2(Ui, dj, 0) if dj else Ui)
         delta = (B - acc) * inv_diag - U
         mask = (row_par == pj) & (col_par == pi) & valid
-        return U + jnp.where(mask, omega * delta, 0.0)
+        # zero pinned to the compute dtype: a weak 0.0 literal becomes an
+        # f64 scalar under jax_enable_x64, and Mosaic's f64->f32 convert
+        # fallback recurses infinitely at lowering time
+        zero = jnp.zeros((), dtype=U.dtype)
+        return U + jnp.where(mask, omega * delta, zero)
 
     Us[:] = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), step, Us[:])
 

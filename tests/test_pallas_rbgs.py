@@ -125,3 +125,34 @@ def test_fused_sweep_double_buffered_matches(const):
                               interpret=True, double_buffer=True)
         np.testing.assert_allclose(np.asarray(ps.unpad_field(out)),
                                    np.asarray(ref), rtol=1e-12, atol=1e-12)
+
+
+def test_kernel_jaxpr_is_x64_clean():
+    """Regression (round-2 hardware bug): under jax_enable_x64 a weak 0.0
+    literal entered the kernel as an f64 scalar and Mosaic's f64->f32
+    convert fallback recursed infinitely at lowering time — which interpret
+    mode cannot catch. Assert no f64 values appear in the traced kernel."""
+    import dataclasses
+
+    import jax
+
+    side = 63
+    S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
+                             dtype=jnp.float32)
+    b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
+    for S_ in (S, dataclasses.replace(S, w33=None)):
+        for db in (False, True):
+            ps = PaddedStencil.prepare(S_, tr=16, dtype=jnp.float32,
+                                       double_buffer=db)
+            u = ps.pad_field(jnp.zeros_like(b2))
+            jaxpr = jax.make_jaxpr(
+                lambda u_, b_: fused_gs4_sweep(ps, u_, b_,
+                                               double_buffer=db)
+            )(u, ps.pad_field(b2))
+            for eqn in jaxpr.jaxpr.eqns:
+                if eqn.primitive.name != "pallas_call":
+                    continue
+                kernel_txt = str(eqn.params["jaxpr"])
+                assert ":f64" not in kernel_txt, (
+                    "f64 value traced into the Pallas kernel "
+                    f"(const={S_.w33 is not None}, db={db})")
