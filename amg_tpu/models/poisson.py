@@ -13,6 +13,8 @@ device arrays come out as ELL matrices or stencil-coefficient planes.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax.numpy as jnp
 import scipy.sparse as sp
@@ -91,6 +93,38 @@ def rhs(n: int, f=default_forcing, dtype=jnp.float64) -> jnp.ndarray:
     X, Y = np.meshgrid(interior, interior, indexing="ij")  # X varies with j
     b = f(X, Y).reshape(-1)  # row-major over (j, i) == reference dof order
     return jnp.asarray(b, dtype=dtype)
+
+
+def default_forcing_jnp(x, y):
+    """``default_forcing`` in jnp ops (traceable for on-device evaluation)."""
+    return 5.0 * jnp.exp(-10.0 * (x * x + y * y))
+
+
+def rhs_device(n: int, f=default_forcing_jnp, dtype=jnp.float64) -> jnp.ndarray:
+    """Forcing vector b evaluated ON DEVICE (jit) — no bulk host transfer.
+
+    Same grid / traversal contract as :func:`rhs` (grid.hpp:108-140):
+    ``b[j*n + i] = f(x[j+1], x[i+1])`` for the (n+2)-point uniform grid on
+    [-1, 1]. ``f`` must be jnp-traceable (default matches grid.hpp:110-112).
+
+    Rationale: at scale the host build + push dominates (134 MB of f64 at
+    n=4095) and host<->device bandwidth through a remote-TPU tunnel can be
+    arbitrarily poor; generating b with a ~KB-sized compiled program keeps
+    setup transfer-free. Values agree with :func:`rhs` to f64 roundoff
+    (linspace endpoints are exact; see tests/test_poisson.py).
+    """
+    import jax
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _build(n_):
+        domain = jnp.linspace(jnp.asarray(-1.0, dtype=dtype),
+                              jnp.asarray(1.0, dtype=dtype),
+                              n_ + N_BOUNDARY_POINTS)
+        interior = domain[1:-1]
+        X, Y = jnp.meshgrid(interior, interior, indexing="ij")
+        return f(X, Y).reshape(-1).astype(dtype)
+
+    return _build(n)
 
 
 def poisson2d(n: int, f=default_forcing, dtype=jnp.float64):

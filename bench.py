@@ -57,21 +57,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _device_stencil(side, dtype=jnp.float32):
+    """Fine-level Poisson operator built ON DEVICE (no host plane push —
+    bulk transfers through a degraded tunnel can hang indefinitely)."""
+    from amg_tpu.ops.rap import poisson_const_w33, poisson_planes
+    from amg_tpu.sparse.stencil import Stencil2D
+
+    return Stencil2D(c=poisson_planes(side, dtype), side=side,
+                     w33=poisson_const_w33(side, 1)[0])
+
+
 def pallas_hardware_gate():
     """COMPILED-MODE parity check of the fused Pallas kernel on the real
     chip (round-1 lesson: interpret-only tests cannot catch DMA-ordering
     bugs). Runs every bench round; raises on mismatch."""
     from amg_tpu.models import poisson
     from amg_tpu.ops.pallas.rbgs import PaddedStencil, fused_gs4_sweep
-    from amg_tpu.sparse.stencil import (Stencil2D, color_masks,
-                                        gs4_sweep_masked)
+    from amg_tpu.sparse.stencil import color_masks, gs4_sweep_masked
 
     side = 511
-    S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
-                             dtype=jnp.float32)
-    b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
-    rng = np.random.default_rng(0)
-    uc = jnp.asarray(rng.standard_normal((side, side)), dtype=jnp.float32)
+    S = _device_stencil(side)
+    b2 = poisson.rhs_device(side, dtype=jnp.float32).reshape(side, side)
+    uc = jax.random.normal(jax.random.PRNGKey(0), (side, side),
+                           dtype=jnp.float32)
     ref = np.asarray(jax.jit(gs4_sweep_masked)(
         S, uc, b2, color_masks(side, jnp.float32)))
     import dataclasses as dc
@@ -97,16 +105,14 @@ def sweep_sol_stats():
     """Per-sweep nnz/s and %-of-HBM-speed-of-light for the production
     smoother at the headline sizes (BASELINE north star)."""
     from amg_tpu.models import poisson
-    from amg_tpu.sparse.stencil import (Stencil2D, color_masks,
-                                        gs4_sweep_masked)
+    from amg_tpu.sparse.stencil import color_masks, gs4_sweep_masked
     from amg_tpu.utils.profiling import Roofline
 
     roof = Roofline()  # v5e defaults
     out = {}
     for side in (1023, 2047):
-        S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
-                                 dtype=jnp.float32)
-        b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
+        S = _device_stencil(side)
+        b2 = poisson.rhs_device(side, dtype=jnp.float32).reshape(side, side)
         masks = color_masks(side, jnp.float32)
         u0 = jnp.zeros_like(b2)
 
@@ -122,7 +128,8 @@ def sweep_sol_stats():
             t0 = time.perf_counter()
             jax.block_until_ready(loop(u0, S, b2, masks))
             best = min(best, (time.perf_counter() - t0) / 50)
-        nnz = S.nnz
+        # analytic 5-point count (S.nnz would pull all 9 planes to host)
+        nnz = 5 * side * side - 4 * side
         # const-stencil sweep: 8 color steps x (read u, b; write u)
         sol_s = 8 * 3 * side * side * 4 / (roof.hbm_gbps * 1e9)
         out[side] = dict(sweep_ms=round(best * 1e3, 4),
@@ -138,8 +145,9 @@ def tpu_solve():
     from amg_tpu.models import poisson
     from amg_tpu.structured import StructuredSolver
 
-    b2 = jnp.asarray(np.asarray(poisson.rhs(SIDE, dtype=jnp.float64)
-                                ).reshape(SIDE, SIDE))
+    # built on device: bulk host->device pushes (8 MB here, 134 MB at
+    # 4095^2) hang outright through a degraded tunnel
+    b2 = poisson.rhs_device(SIDE, dtype=jnp.float64).reshape(SIDE, SIDE)
     log(f"building f32 hierarchy side={SIDE} ...")
     t0 = time.perf_counter()
     solver = StructuredSolver(SIDE)
@@ -210,26 +218,27 @@ def cpu_baseline():
     return secs
 
 
-def tpu_solve_2047():
-    """Secondary headline: the 2047^2 (4.19M dof) solve wall-clock."""
+def tpu_solve_at(side, n_runs=3):
+    """Secondary headline: solve wall-clock at a larger size (2047^2 =
+    4.19M dofs; 4095^2 = 16.8M dofs). Fully device-resident: RHS
+    generation, setup, and the solve loop move no bulk data over the
+    tunnel."""
     from amg_tpu.models import poisson
     from amg_tpu.structured import StructuredSolver
 
-    side = 2047
-    b2 = jnp.asarray(np.asarray(poisson.rhs(side, dtype=jnp.float64)
-                                ).reshape(side, side))
+    b2 = poisson.rhs_device(side, dtype=jnp.float64).reshape(side, side)
     solver = StructuredSolver(side)
     solver.warmup()
     times = []
-    for _ in range(3):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         u, stats = solver.solve_ir_device(b2, tolerance=TOL)
         jax.block_until_ready(u)
         times.append(time.perf_counter() - t0)
     err_v, it_v = np.asarray(stats)
-    assert err_v <= TOL, "2047^2 solve did not converge"
+    assert err_v <= TOL, f"{side}^2 solve did not converge (rss={err_v:.3e})"
     t = min(times)
-    log(f"tpu 2047^2 solve best-of-3: {t:.4f}s "
+    log(f"tpu {side}^2 solve best-of-{n_runs}: {t:.4f}s "
         f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e})")
     return t
 
@@ -245,15 +254,29 @@ def _stage(fn, name):
 
 
 def main():
+    start = time.perf_counter()
+
+    def budget_left():
+        return _WATCHDOG_S - (time.perf_counter() - start)
+
     gate, gate_err = _stage(pallas_hardware_gate, "pallas_gate")
     sol, sol_err = _stage(sweep_sol_stats, "sweep_sol")
     tpu_secs, res = tpu_solve()  # the headline — failures here are fatal
-    t2047, t2047_err = _stage(tpu_solve_2047, "solve_2047")
+    t2047, t2047_err = _stage(lambda: tpu_solve_at(2047), "solve_2047")
+    # 16.8M-dof stage only if enough watchdog budget remains for its
+    # compiles (skipping beats tripping the watchdog and losing the line)
+    if budget_left() > 150:
+        t4095, t4095_err = _stage(lambda: tpu_solve_at(4095, n_runs=2),
+                                  "solve_4095")
+    else:
+        t4095, t4095_err = None, f"skipped (budget {budget_left():.0f}s)"
     cpu_secs, _ = _stage(cpu_baseline, "cpu_baseline")
     vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
     extras = {}
     extras["solve_2047_s"] = (round(t2047, 5) if t2047 is not None
                               else t2047_err)
+    extras["solve_4095_s"] = (round(t4095, 5) if t4095 is not None
+                              else t4095_err)
     extras["sweep_sol"] = sol if sol is not None else sol_err
     extras["pallas_hw_parity_maxdiff"] = (
         max(gate.values()) if gate else gate_err)

@@ -98,3 +98,19 @@ def test_ell_offdiag_and_diag():
     np.testing.assert_allclose(
         np.asarray(off), (dense - np.diag(np.diag(dense))) @ np.asarray(x),
         rtol=1e-13)
+
+
+def test_rhs_device_matches_host():
+    """On-device RHS generation (zero bulk transfer) agrees with the
+    host/reference-parity build to f64 roundoff, at odd and even sizes."""
+    for n in (7, 35, 64):
+        host = np.asarray(poisson.rhs(n, dtype=jnp.float64))
+        dev = np.asarray(poisson.rhs_device(n, dtype=jnp.float64))
+        np.testing.assert_allclose(dev, host, rtol=1e-14, atol=0)
+
+
+def test_rhs_device_f32():
+    n = 33
+    host = np.asarray(poisson.rhs(n, dtype=jnp.float64), dtype=np.float32)
+    dev = np.asarray(poisson.rhs_device(n, dtype=jnp.float32))
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=0)
