@@ -51,12 +51,36 @@ _OFFSETS = [(dj, di) for dj in (-1, 0, 1) for di in (-1, 0, 1)
 
 
 def _roll2(x, dj: int, di: int):
-    """x shifted so that out[j, i] = x[j + dj, i + di]."""
+    """x shifted so that out[j, i] = x[j + dj, i + di].
+
+    Shifts are pinned to np.int32: a Python-int shift becomes an i64[]
+    jaxpr literal under jax_enable_x64, and ANY 64-bit value inside a
+    Mosaic kernel makes the lowering's _convert_helper fallback recurse
+    infinitely (convert-from-64-bit re-emits itself)."""
     if dj:
-        x = pltpu.roll(x, -dj % x.shape[0], axis=0)
+        x = pltpu.roll(x, np.int32(-dj % x.shape[0]), axis=0)
     if di:
-        x = pltpu.roll(x, -di % x.shape[1], axis=1)
+        x = pltpu.roll(x, np.int32(-di % x.shape[1]), axis=1)
     return x
+
+
+def _fori32(n_steps: int, body, init):
+    """Static-trip-count fori loop with an int32 counter.
+
+    lax.fori_loop with concrete bounds lowers to scan carrying
+    ``int(lower)`` — a PYTHON int, canonicalized to int64 under
+    jax_enable_x64 regardless of the dtype the bounds were pinned to
+    (jax/_src/lax/control_flow/loops.py fori_loop: ``lower_ =
+    int(lower)``). That i64 carry is what made every fused-kernel variant
+    die in Mosaic's _convert_helper on real TPU under x64. This helper
+    keeps the counter an explicit np.int32 scan carry."""
+    def scan_body(carry, _):
+        s, u = carry
+        return (s + np.int32(1), body(s, u)), None
+
+    (_, out), _ = jax.lax.scan(scan_body, (np.int32(0), init), None,
+                               length=n_steps)
+    return out
 
 
 def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
@@ -114,7 +138,7 @@ def _color_sweep_body_const(B, Us, omega: float, symmetric: bool,
         zero = jnp.zeros((), dtype=U.dtype)
         return U + jnp.where(mask, omega * delta, zero)
 
-    Us[:] = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), step, Us[:])
+    Us[:] = _fori32(n_steps, step, Us[:])
 
 
 def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
@@ -147,7 +171,7 @@ def _color_sweep_body(C, B, Us, omega: float, symmetric: bool):
         mask = ((row_par == pj) & (col_par == pi)).astype(U.dtype)
         return U + (omega * mask) * delta
 
-    Us[:] = jax.lax.fori_loop(np.int32(0), np.int32(n_steps), step, Us[:])
+    Us[:] = _fori32(n_steps, step, Us[:])
 
 
 def _copy_margins(u_hbm, out_hbm, sems, t, n_tiles: int, rows: int):
@@ -162,7 +186,7 @@ def _copy_margins(u_hbm, out_hbm, sems, t, n_tiles: int, rows: int):
     def _():
         dma = pltpu.make_async_copy(u_hbm.at[pl.ds(0, G1), :],
                                     out_hbm.at[pl.ds(0, G1), :],
-                                    sems.at[0])
+                                    sems.at[np.int32(0)])
         dma.start()
         dma.wait()
 
@@ -170,7 +194,7 @@ def _copy_margins(u_hbm, out_hbm, sems, t, n_tiles: int, rows: int):
     def _():
         dma = pltpu.make_async_copy(u_hbm.at[pl.ds(rows - G1, G1), :],
                                     out_hbm.at[pl.ds(rows - G1, G1), :],
-                                    sems.at[1])
+                                    sems.at[np.int32(1)])
         dma.start()
         dma.wait()
 
@@ -190,11 +214,11 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems,
     W = tr + 2 * G1
 
     cp_c = pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs,
-                                 sems.at[0])
+                                 sems.at[np.int32(0)])
     cp_b = pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs,
-                                 sems.at[1])
+                                 sems.at[np.int32(1)])
     cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us,
-                                 sems.at[2])
+                                 sems.at[np.int32(2)])
     cp_c.start()
     cp_b.start()
     cp_u.start()
@@ -207,7 +231,7 @@ def _sweep_kernel(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, sems,
 
     cp_out = pltpu.make_async_copy(Us.at[G1:G1 + tr, :],
                                    out_hbm.at[pl.ds(row0 + G1, tr), :],
-                                   sems.at[3])
+                                   sems.at[np.int32(3)])
     cp_out.start()
     cp_out.wait()
 
@@ -223,9 +247,9 @@ def _sweep_kernel_const(b_hbm, u_hbm, out_hbm, Bs, Us, sems, margin_sems, *,
     W = tr + 2 * G1
 
     cp_b = pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs,
-                                 sems.at[0])
+                                 sems.at[np.int32(0)])
     cp_u = pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us,
-                                 sems.at[1])
+                                 sems.at[np.int32(1)])
     cp_b.start()
     cp_u.start()
     _copy_margins(u_hbm, out_hbm, margin_sems, t, n_tiles, rows)
@@ -236,7 +260,7 @@ def _sweep_kernel_const(b_hbm, u_hbm, out_hbm, Bs, Us, sems, margin_sems, *,
 
     cp_out = pltpu.make_async_copy(Us.at[G1:G1 + tr, :],
                                    out_hbm.at[pl.ds(row0 + G1, tr), :],
-                                   sems.at[2])
+                                   sems.at[np.int32(2)])
     cp_out.start()
     cp_out.wait()
 
@@ -258,9 +282,9 @@ def _sweep_kernel_const_db(b_hbm, u_hbm, out_hbm, Bs, Us, Os, in_sems,
     def in_dmas(tile, s):
         row0 = tile * tr
         return (pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :],
-                                      Bs.at[s], in_sems.at[s, 0]),
+                                      Bs.at[s], in_sems.at[s, np.int32(0)]),
                 pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :],
-                                      Us.at[s], in_sems.at[s, 1]))
+                                      Us.at[s], in_sems.at[s, np.int32(1)]))
 
     def out_dma(tile, s):
         row0 = tile * tr
@@ -324,20 +348,20 @@ def _sweep_kernel_db(c_hbm, b_hbm, u_hbm, out_hbm, Cs, Bs, Us, Os,
     def start_in(tile, s):
         row0 = tile * tr
         pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs.at[s],
-                              in_sems.at[s, 0]).start()
+                              in_sems.at[s, np.int32(0)]).start()
         pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs.at[s],
-                              in_sems.at[s, 1]).start()
+                              in_sems.at[s, np.int32(1)]).start()
         pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us.at[s],
-                              in_sems.at[s, 2]).start()
+                              in_sems.at[s, np.int32(2)]).start()
 
     def wait_in(tile, s):
         row0 = tile * tr
         pltpu.make_async_copy(c_hbm.at[:, pl.ds(row0, W), :], Cs.at[s],
-                              in_sems.at[s, 0]).wait()
+                              in_sems.at[s, np.int32(0)]).wait()
         pltpu.make_async_copy(b_hbm.at[pl.ds(row0, W), :], Bs.at[s],
-                              in_sems.at[s, 1]).wait()
+                              in_sems.at[s, np.int32(1)]).wait()
         pltpu.make_async_copy(u_hbm.at[pl.ds(row0, W), :], Us.at[s],
-                              in_sems.at[s, 2]).wait()
+                              in_sems.at[s, np.int32(2)]).wait()
 
     def out_dma(tile, s):
         row0 = tile * tr

@@ -28,6 +28,14 @@ import time
 _WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", "560"))
 
 
+# Deadline shared with budget_left(): the watchdog sleeps from HERE — module
+# import, before jax/TPU-tunnel init — so remaining-budget math must use the
+# same origin, or a slow device init (the exact scenario the watchdog
+# defends against) makes budget_left() overestimate and the optional stages
+# trip os._exit(3), losing the already-measured headline JSON.
+_START = time.perf_counter()
+
+
 def _watchdog():
     time.sleep(_WATCHDOG_S)
     print(f"bench watchdog: no result within {_WATCHDOG_S}s "
@@ -84,20 +92,28 @@ def pallas_hardware_gate():
         S, uc, b2, color_masks(side, jnp.float32)))
     import dataclasses as dc
 
-    stats = {}
+    # Per-variant pass/fail: one variant's compile failure must not mask
+    # the others' results (round-2 lesson — the all-in-one try/except left
+    # "which variant recursed?" unanswerable from the artifact).
+    stats, failed = {}, []
     for kind, S_ in (("const", S), ("var", dc.replace(S, w33=None))):
         for db in (False, True):
-            ps = PaddedStencil.prepare(S_, tr=64, dtype=jnp.float32,
-                                       double_buffer=db)
-            got = np.asarray(ps.unpad_field(fused_gs4_sweep(
-                ps, ps.pad_field(uc), ps.pad_field(b2),
-                double_buffer=db)))
-            md = float(np.abs(got - ref).max())
-            assert md < 5e-5, (
-                f"fused Pallas kernel WRONG compiled on TPU "
-                f"({kind}, db={db}): maxdiff={md:.3e}")
-            stats[f"{kind}_db{int(db)}"] = md
-    log(f"pallas hardware parity gate passed: {stats}")
+            name = f"{kind}_db{int(db)}"
+            try:
+                ps = PaddedStencil.prepare(S_, tr=64, dtype=jnp.float32,
+                                           double_buffer=db)
+                got = np.asarray(ps.unpad_field(fused_gs4_sweep(
+                    ps, ps.pad_field(uc), ps.pad_field(b2),
+                    double_buffer=db)))
+                md = float(np.abs(got - ref).max())
+                stats[name] = md
+                if md >= 5e-5:
+                    failed.append(f"{name}: WRONG maxdiff={md:.3e}")
+            except Exception as e:  # noqa: BLE001 — per-variant report
+                stats[name] = f"{type(e).__name__}: {str(e)[:200]}"
+                failed.append(f"{name}: {type(e).__name__}")
+    log(f"pallas hardware parity gate: {stats}")
+    assert not failed, f"fused Pallas kernel gate FAILED: {failed}"
     return stats
 
 
@@ -254,10 +270,8 @@ def _stage(fn, name):
 
 
 def main():
-    start = time.perf_counter()
-
     def budget_left():
-        return _WATCHDOG_S - (time.perf_counter() - start)
+        return _WATCHDOG_S - (time.perf_counter() - _START)
 
     gate, gate_err = _stage(pallas_hardware_gate, "pallas_gate")
     sol, sol_err = _stage(sweep_sol_stats, "sweep_sol")
@@ -278,8 +292,8 @@ def main():
     extras["solve_4095_s"] = (round(t4095, 5) if t4095 is not None
                               else t4095_err)
     extras["sweep_sol"] = sol if sol is not None else sol_err
-    extras["pallas_hw_parity_maxdiff"] = (
-        max(gate.values()) if gate else gate_err)
+    # full per-variant map (floats = maxdiff, strings = failure)
+    extras["pallas_hw_parity"] = gate if gate else gate_err
     print(json.dumps({
         "metric": f"poisson2d_{SIDE}x{SIDE}_amg_solve_rss1e-7_wall",
         "value": round(tpu_secs, 5),

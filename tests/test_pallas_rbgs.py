@@ -128,14 +128,27 @@ def test_fused_sweep_double_buffered_matches(const):
 
 
 def test_kernel_jaxpr_is_x64_clean():
-    """Regression (round-2 hardware bug): under jax_enable_x64 a weak 0.0
-    literal entered the kernel as an f64 scalar and Mosaic's f64->f32
-    convert fallback recursed infinitely at lowering time — which interpret
-    mode cannot catch. Assert no f64 values appear in the traced kernel."""
+    """Regression (round-2/3 hardware bug): any 64-bit value inside a
+    Mosaic kernel breaks TPU lowering under jax_enable_x64 — a 64-bit
+    convert makes ``_convert_helper`` recurse infinitely, and a 64-bit
+    semaphore/memref index fails MLIR verification. Neither is catchable in
+    interpret mode. Three distinct leaks have shipped: a weak 0.0 literal
+    (f64 scalar), lax.fori_loop's Python-int scan carry (the static-bounds
+    path does ``int(lower)`` — i64 regardless of bound dtype), and
+    Python-int pltpu.roll shifts / semaphore indices (i64 literals).
+
+    Defense: render the ENTIRE closed jaxpr of every kernel variant — all
+    nested jaxprs and literal operands included — and assert no 64-bit
+    dtype token appears anywhere. The previous version of this test walked
+    only pallas_call eqn params looking for ``:f64`` and passed while the
+    hardware failed; full-text over the whole trace is the check that
+    actually corresponds to what Mosaic lowers."""
     import dataclasses
+    import re
 
     import jax
 
+    assert jax.config.jax_enable_x64, "test must run under x64"
     side = 63
     S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
                              dtype=jnp.float32)
@@ -149,10 +162,10 @@ def test_kernel_jaxpr_is_x64_clean():
                 lambda u_, b_: fused_gs4_sweep(ps, u_, b_,
                                                double_buffer=db)
             )(u, ps.pad_field(b2))
-            for eqn in jaxpr.jaxpr.eqns:
-                if eqn.primitive.name != "pallas_call":
-                    continue
-                kernel_txt = str(eqn.params["jaxpr"])
-                assert ":f64" not in kernel_txt, (
-                    "f64 value traced into the Pallas kernel "
-                    f"(const={S_.w33 is not None}, db={db})")
+            txt = str(jaxpr)
+            bad = [ln.strip()[:120] for ln in txt.splitlines()
+                   if re.search(r"\b[iuf]64\[", ln)]
+            assert not bad, (
+                f"64-bit values traced into the Pallas kernel "
+                f"(const={S_.w33 is not None}, db={db}):\n"
+                + "\n".join(bad[:8]))
