@@ -35,7 +35,7 @@ from amg_tpu.utils.metrics import rss_from_residual
 @partial(jax.tree_util.register_dataclass,
          data_fields=["levels", "coarse_lu", "coarse_piv", "P1s", "masks",
                       "padded"],
-         meta_fields=["sides", "smoother"])
+         meta_fields=["sides", "smoother", "lam_maxes"])
 @dataclasses.dataclass(frozen=True)
 class StencilHierarchy:
     """Structured level hierarchy.
@@ -57,7 +57,11 @@ class StencilHierarchy:
     masks: tuple
     padded: tuple
     sides: tuple   # grid side per level
-    smoother: str  # 'masked' | 'fused' | 'strided'
+    smoother: str  # 'masked' | 'fused' | 'strided' | 'chebyshev'
+    # per-level lambda_max(D^-1 A) bounds (static floats) for the
+    # Chebyshev smoother: analytic Fourier-corner bound on const-stencil
+    # levels, power-iteration estimate on variable-coefficient ones
+    lam_maxes: tuple | None = None
 
     @property
     def n_levels(self) -> int:
@@ -128,14 +132,30 @@ def build_stencil_hierarchy(side: int, n_levels: int | None = None,
             PaddedStencil.prepare(levels[l], dtype=dtype)
             if sides[l] >= FUSED_MIN_SIDE else None
             for l in range(n_levels))
+    lam_maxes = None
+    if smoother == "chebyshev":
+        from amg_tpu.sparse.stencil import const_lam_max, estimate_lam_max
+
+        # variable-coefficient levels get a setup-time power-iteration
+        # estimate (a few SpMVs, fetched once as a static float); const
+        # levels the exact analytic bound
+        lam_maxes = tuple(
+            const_lam_max(S.w33) if S.w33 is not None
+            else float(estimate_lam_max(S))
+            for S in levels)
     return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
                             P1s=P1s, masks=masks, padded=padded,
-                            sides=tuple(sides), smoother=smoother)
+                            sides=tuple(sides), smoother=smoother,
+                            lam_maxes=lam_maxes)
 
 
-# below this side the pad/unpad overhead of the fused kernel exceeds its
-# savings; fall back to the masked XLA sweep
-FUSED_MIN_SIDE = 256
+# Measured crossover (v5e, honest scalar-fetch timing, r3): the XLA masked
+# sweep wins below ~2047 (0.056 ms @1023, 0.243 ms @2047 vs fused 0.086 /
+# 0.377 — XLA fuses the color steps into near-minimal HBM traffic), but its
+# codegen collapses at 4095 (5.97 ms, 6x worse per element) where the fused
+# VMEM-resident kernel does 2.33 ms. benchmarks/fused_crossover.py
+# reproduces the measurement.
+FUSED_MIN_SIDE = 3000
 
 
 def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
@@ -188,10 +208,26 @@ def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
     w33s = poisson_const_w33(side, n_levels)
     levels = tuple(Stencil2D(c=c, side=s, w33=w)
                    for c, s, w in zip(planes, sides, w33s))
+    padded = (None,) * n_levels
+    if smoother == "fused":
+        # const-stencil levels carry only static w33 metadata in their
+        # PaddedStencil (no coefficient planes) — preparing the fused path
+        # on the device-built hierarchy costs nothing
+        from amg_tpu.ops.pallas.rbgs import PaddedStencil
+
+        padded = tuple(
+            PaddedStencil.prepare(levels[l], dtype=jnp.float32)
+            if sides[l] >= FUSED_MIN_SIDE else None
+            for l in range(n_levels))
+    lam_maxes = None
+    if smoother == "chebyshev":
+        from amg_tpu.sparse.stencil import const_lam_max
+
+        lam_maxes = tuple(const_lam_max(w) for w in w33s)
     return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
                             P1s=P1s, masks=masks,
-                            padded=(None,) * n_levels, sides=tuple(sides),
-                            smoother=smoother)
+                            padded=padded, sides=tuple(sides),
+                            smoother=smoother, lam_maxes=lam_maxes)
 
 
 def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
@@ -201,10 +237,18 @@ def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
         for _ in range(sweeps):
             u2 = gs4_sweep(S, u2, b2, omega, symmetric)
         return u2
-    if hier.smoother == "chebyshev" and S.w33 is not None:
+    if hier.smoother == "chebyshev" and (hier.lam_maxes is not None
+                                         or S.w33 is not None):
         from amg_tpu.sparse.stencil import chebyshev_smooth, const_lam_max
 
-        lam = const_lam_max(S.w33)  # static float (compile-time)
+        # per-level static bound: analytic on const levels, setup-time
+        # power iteration on variable-coefficient ones (hier.lam_maxes);
+        # const-only fallback covers hierarchies deserialized from before
+        # lam_maxes existed (checkpoint round-trips)
+        if hier.lam_maxes is not None:
+            lam = hier.lam_maxes[l]
+        else:
+            lam = const_lam_max(S.w33)
         for _ in range(sweeps):
             u2 = chebyshev_smooth(S, u2, b2, lam, degree=4)
         return u2
@@ -431,7 +475,8 @@ class StructuredSolver:
         self.side = side
         if device_setup is None:
             device_setup = (A_fine is None
-                            and smoother in ("masked", "chebyshev"))
+                            and smoother in ("masked", "chebyshev",
+                                             "fused"))
         if device_setup and A_fine is None:
             self.hier = build_stencil_hierarchy_device(side, n_levels,
                                                        smoother=smoother)
@@ -584,12 +629,18 @@ class StructuredSolver:
         return self._solve_loop_j(self.hier, A, b64, tol, n_refine)
 
     def warmup(self):
-        """Compile all programs (first call is slow on a cold cache)."""
+        """Compile all programs (first call is slow on a cold cache).
+
+        Syncs by FETCHING the small stats array, not block_until_ready:
+        through a remote-TPU tunnel block_until_ready can return before
+        server-side compile+execute finish (measured r3: a warmup that
+        "blocked" in 12 s left a 168 s compile for the first real solve);
+        a host data fetch is the only true synchronization point."""
         z64 = jnp.zeros((self.side, self.side), dtype=jnp.float64)
-        u, _ = self._refine_step(z64, z64)
-        jax.block_until_ready(u)
-        u, _ = self._solve_loop(z64, 1e-7, 40)
-        jax.block_until_ready(u)
+        _, err = self._refine_step(z64, z64)
+        np.asarray(err)
+        _, stats = self._solve_loop(z64, 1e-7, 40)
+        np.asarray(stats)
 
     def solve_ir_device(self, b2_f64, tolerance: float = 1e-7,
                         n_refine: int = 40):

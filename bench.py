@@ -119,7 +119,17 @@ def pallas_hardware_gate():
 
 def sweep_sol_stats():
     """Per-sweep nnz/s and %-of-HBM-speed-of-light for the production
-    smoother at the headline sizes (BASELINE north star)."""
+    smoother at the headline sizes (BASELINE north star).
+
+    Timing methodology (r3): the timed jitted program RETURNS A SCALAR and
+    the fetch of that scalar is inside the timed region — through the
+    remote-TPU tunnel jax.block_until_ready can return before execution
+    finishes, which made the r2-recorded sweeps measure dispatch latency
+    (one ~25 ms round trip per 50-sweep call ≈ the recorded 0.498 ms/sweep
+    at 1023). Inner counts are sized so dispatch+fetch overhead is <5% of
+    the timed region."""
+    from functools import partial
+
     from amg_tpu.models import poisson
     from amg_tpu.sparse.stencil import color_masks, gs4_sweep_masked
     from amg_tpu.utils.profiling import Roofline
@@ -131,29 +141,37 @@ def sweep_sol_stats():
         b2 = poisson.rhs_device(side, dtype=jnp.float32).reshape(side, side)
         masks = color_masks(side, jnp.float32)
         u0 = jnp.zeros_like(b2)
+        bytes_24pass = 24 * side * side * 4
+        inner = max(100, int(0.25 * roof.hbm_gbps * 1e9 // bytes_24pass))
 
-        @jax.jit
-        def loop(u, S_, b_, m_):
-            return jax.lax.fori_loop(
-                0, 50, lambda _, uu: gs4_sweep_masked(S_, uu, b_, m_,
-                                                      1.0, True), u)
+        @partial(jax.jit, static_argnums=(4,))
+        def loop(u, S_, b_, m_, k):
+            o = jax.lax.fori_loop(
+                0, k, lambda _, uu: gs4_sweep_masked(S_, uu, b_, m_,
+                                                     1.0, True), u)
+            return jnp.sum(o)
 
         best = 1e9
+        float(loop(u0, S, b2, masks, inner))  # compile + warm
         for _ in range(4):
-            jax.block_until_ready(loop(u0, S, b2, masks))
             t0 = time.perf_counter()
-            jax.block_until_ready(loop(u0, S, b2, masks))
-            best = min(best, (time.perf_counter() - t0) / 50)
+            float(loop(u0, S, b2, masks, inner))  # scalar fetch = true sync
+            best = min(best, (time.perf_counter() - t0) / inner)
         # analytic 5-point count (S.nnz would pull all 9 planes to host)
         nnz = 5 * side * side - 4 * side
-        # const-stencil sweep: 8 color steps x (read u, b; write u)
-        sol_s = 8 * 3 * side * side * 4 / (roof.hbm_gbps * 1e9)
+        # nominal unfused traffic: 8 color steps x (read u, b; write u);
+        # >100% proves XLA fused the color steps below nominal traffic.
+        # min3 is the unbeatable bound (read u, read b, write u once).
+        sol_s = bytes_24pass / (roof.hbm_gbps * 1e9)
+        min3_s = 3 * side * side * 4 / (roof.hbm_gbps * 1e9)
         out[side] = dict(sweep_ms=round(best * 1e3, 4),
                          gnnz_s=round(2 * nnz / best / 1e9, 2),
-                         sol_pct=round(100 * sol_s / best, 1))
-        log(f"sweep@{side}: {best*1e3:.3f} ms, "
+                         sol_pct=round(100 * sol_s / best, 1),
+                         min3_sol_pct=round(100 * min3_s / best, 1))
+        log(f"sweep@{side}: {best*1e3:.4f} ms, "
             f"{2*nnz/best/1e9:.1f} Gnnz/s (sym), "
-            f"{100*sol_s/best:.0f}% of 24-pass HBM SoL")
+            f"{100*sol_s/best:.0f}% of 24-pass SoL, "
+            f"{100*min3_s/best:.0f}% of min-traffic SoL")
     return out
 
 
@@ -179,16 +197,16 @@ def tpu_solve():
     assert res.converged, "TPU solve did not converge"
 
     # Timed region: the one-dispatch device solve (convergence control is
-    # the on-device while_loop). The stats fetch is reporting, not solving,
-    # and costs a ~25 ms tunnel round trip — verify it AFTER timing.
+    # the on-device while_loop) INCLUDING the packed stats fetch — the
+    # fetch is the only reliable sync through the tunnel
+    # (block_until_ready can return before execution completes).
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         u, stats = solver.solve_ir_device(b2, tolerance=TOL)
-        jax.block_until_ready(u)
+        err_v, it_v = np.asarray(stats)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    err_v, it_v = np.asarray(stats)
     assert err_v <= TOL, "timed solve did not converge"
     log(f"tpu solve best-of-5: {t:.4f}s "
         f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e})")
@@ -238,24 +256,28 @@ def tpu_solve_at(side, n_runs=3):
     """Secondary headline: solve wall-clock at a larger size (2047^2 =
     4.19M dofs; 4095^2 = 16.8M dofs). Fully device-resident: RHS
     generation, setup, and the solve loop move no bulk data over the
-    tunnel."""
+    tunnel. Stats fetch inside the timed region (true sync). At sides
+    past the measured crossover the fine level smooths with the fused
+    Pallas kernel (structured.FUSED_MIN_SIDE, 2.6x the masked sweep at
+    4095)."""
     from amg_tpu.models import poisson
-    from amg_tpu.structured import StructuredSolver
+    from amg_tpu.structured import FUSED_MIN_SIDE, StructuredSolver
 
     b2 = poisson.rhs_device(side, dtype=jnp.float64).reshape(side, side)
-    solver = StructuredSolver(side)
+    smoother = "fused" if side >= FUSED_MIN_SIDE else "masked"
+    solver = StructuredSolver(side, smoother=smoother)
     solver.warmup()
     times = []
     for _ in range(n_runs):
         t0 = time.perf_counter()
         u, stats = solver.solve_ir_device(b2, tolerance=TOL)
-        jax.block_until_ready(u)
+        err_v, it_v = np.asarray(stats)
         times.append(time.perf_counter() - t0)
-    err_v, it_v = np.asarray(stats)
     assert err_v <= TOL, f"{side}^2 solve did not converge (rss={err_v:.3e})"
     t = min(times)
     log(f"tpu {side}^2 solve best-of-{n_runs}: {t:.4f}s "
-        f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e})")
+        f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e}, "
+        f"smoother={smoother})")
     return t
 
 
