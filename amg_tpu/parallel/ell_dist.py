@@ -46,6 +46,31 @@ AXIS = "x"
 # Host setup: padded/windowed ELL shards
 
 
+def _pad_rows_csr(M, rows_pad: int, cols_pad: int):
+    """Pad a scipy CSR to rows_pad rows acting on the padded column space
+    [0, cols_pad): identity rows on the padding when the operator is
+    square (so padded vector entries stay exactly zero through smoothing,
+    matvec and rss), zero rows otherwise."""
+    import scipy.sparse as sp
+
+    M = M.tocsr()
+    n_rows, n_cols = M.shape
+    square = n_rows == n_cols
+    M = sp.csr_matrix((M.data, M.indices, M.indptr),
+                      shape=(n_rows, cols_pad))
+    if square:
+        eye_rows = np.arange(n_rows, rows_pad)
+        pad = sp.coo_matrix(
+            (np.ones(len(eye_rows)), (eye_rows - n_rows, eye_rows)),
+            shape=(rows_pad - n_rows, cols_pad))
+        Mp = sp.vstack([M, pad]).tocsr()
+    else:
+        pad = sp.csr_matrix((rows_pad - n_rows, cols_pad))
+        Mp = sp.vstack([M, pad]).tocsr()
+    Mp.sort_indices()
+    return Mp
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardedOp:
     """A row-partitioned ELL operator in window coordinates.
@@ -67,30 +92,8 @@ class ShardedOp:
         """M: scipy CSR (n_rows x n_cols). Rows padded to D*B_row with
         identity rows when square (n_rows == n_cols) or zero rows
         otherwise; columns rewritten to window coordinates."""
-        import scipy.sparse as sp
-
-        M = M.tocsr()
-        n_rows, n_cols = M.shape
-        rows_pad = D * B_row
-        cols_pad = D * B_x
-        square = n_rows == n_cols
-        # operators act on the padded vector space [0, D*B_x); real columns
-        # keep their global indices (padding is appended at the end)
-        M = sp.csr_matrix((M.data, M.indices, M.indptr),
-                          shape=(n_rows, cols_pad))
-        if square:
-            # true identity rows on the padding: diag 1 at the row's own
-            # padded index, so padded vector entries stay exactly zero
-            # through smoothing, matvec and rss
-            eye_rows = np.arange(n_rows, rows_pad)
-            pad = sp.coo_matrix(
-                (np.ones(len(eye_rows)), (eye_rows - n_rows, eye_rows)),
-                shape=(rows_pad - n_rows, cols_pad))
-            Mp = sp.vstack([M, pad]).tocsr()
-        else:
-            pad = sp.csr_matrix((rows_pad - n_rows, cols_pad))
-            Mp = sp.vstack([M, pad]).tocsr()
-        Mp.sort_indices()
+        Mp = _pad_rows_csr(M, D * B_row, D * B_x)
+        rows_pad, cols_pad = Mp.shape
         deg = np.diff(Mp.indptr)
         K = max(int(deg.max()), 1)
         data = np.zeros((rows_pad, K), dtype=np.float64)
@@ -135,6 +138,69 @@ def _exchange_w(x_loc, W: int, D: int):
     return left, right
 
 
+def _exchange_strips_1d(u_loc, b_loc, H: int, D: int):
+    """One ghost-strip exchange for a whole multicolor sweep: H-wide u and
+    b boundary strips ride the SAME ppermute pair (zeros at ring edges).
+    The banded-window analog of structured_dist._exchange_strips."""
+    z = jnp.zeros((H,), dtype=u_loc.dtype)
+    if D == 1 or H == 0:
+        return (jnp.concatenate([z, u_loc, z]),
+                jnp.concatenate([z, b_loc, z]))
+    down = jnp.concatenate([u_loc[-H:], b_loc[-H:]])
+    up = jnp.concatenate([u_loc[:H], b_loc[:H]])
+    left = lax.ppermute(down, AXIS, [(i, i + 1) for i in range(D - 1)])
+    right = lax.ppermute(up, AXIS, [(i + 1, i) for i in range(D - 1)])
+    u_ext = jnp.concatenate([left[:H], u_loc, right[:H]])
+    b_ext = jnp.concatenate([left[H:], b_loc, right[H:]])
+    return u_ext, b_ext
+
+
+def build_ext_panels(M, colors_pad, diag_pad, D: int, B: int, H: int):
+    """Per-device extended row panels for ghost-strip multicolor sweeps.
+
+    Each device updates rows [d*B - H, d*B + B + H) of the padded square
+    operator during the sweep (temporal blocking: one color step
+    invalidates W extended rows per side, so H = n_steps*W leaves the
+    whole [d*B, d*B + B) block exact after all steps — the banded analog
+    of the structured ghost-strip sweep, structured_dist.py:150-194).
+    Columns are rewritten to extended-x coordinates (g - (d*B - H)),
+    clamped into [0, B + 2H): out-of-window references occur only on
+    rows whose updates the validity induction discards.
+
+    Returns numpy (dataE, colsE, masksE, diagE) with row layout
+    (D*(B+2H), ...): device d's panel occupies rows [d*E, (d+1)*E).
+    """
+    rows_pad = D * B
+    Mp = _pad_rows_csr(M, rows_pad, rows_pad)
+    deg = np.diff(Mp.indptr)
+    K = max(int(deg.max()), 1)
+    data_g = np.zeros((rows_pad, K))
+    cols_g = np.zeros((rows_pad, K), dtype=np.int64)
+    rows_of = np.repeat(np.arange(rows_pad), deg)
+    pos = np.arange(Mp.nnz) - np.repeat(Mp.indptr[:-1], deg)
+    data_g[rows_of, pos] = Mp.data
+    cols_g[rows_of, pos] = Mp.indices
+    # empty slots reference the row itself (always inside the window)
+    cols_g = np.where(data_g == 0, np.arange(rows_pad)[:, None], cols_g)
+    E = B + 2 * H
+    C = int(colors_pad.max()) + 1
+    dataE = np.zeros((D * E, K))
+    colsE = np.zeros((D * E, K), dtype=np.int64)
+    diagE = np.ones(D * E)
+    colorsE = np.full(D * E, -1, dtype=np.int64)  # -1: no color fires
+    for d in range(D):
+        lo, hi = d * B - H, d * B + B + H
+        src_lo, src_hi = max(lo, 0), min(hi, rows_pad)
+        dst = d * E + (src_lo - lo)
+        m = src_hi - src_lo
+        dataE[dst:dst + m] = data_g[src_lo:src_hi]
+        colsE[dst:dst + m] = np.clip(cols_g[src_lo:src_hi] - lo, 0, E - 1)
+        diagE[dst:dst + m] = diag_pad[src_lo:src_hi]
+        colorsE[dst:dst + m] = colors_pad[src_lo:src_hi]
+    masksE = np.stack([(colorsE == c) for c in range(C)]).astype(np.float64)
+    return dataE, colsE, masksE, diagE
+
+
 def _matvec_local(op: ShardedOp, data_loc, cols_loc, x_loc, D: int):
     left, right = _exchange_w(x_loc, op.W, D)
     x_ext = jnp.concatenate([left, x_loc, right])
@@ -152,22 +218,37 @@ class EllDistSolver:
     transfer + Galerkin RAP (multigrid.hpp:211-243) with multicolor GS
     smoothing. Correctness contract: identical iterate sequence to the
     single-device multicolor solver (tests/test_ell_dist.py).
+
+    halo: 'step' exchanges the W-wide window once per color step (2C
+    ppermute pairs per symmetric sweep); 'strips' exchanges ONE
+    H = n_steps*W ghost strip per sweep and recomputes neighbor boundary
+    rows locally (extended panels, build_ext_panels) — identical iterates
+    (tests/test_ell_dist.py::test_ell_halo_strips_matches_step). 'strips'
+    trades ~(B+2H)/B extra compute for 2C-x fewer collectives: the right
+    choice when inter-host/ICI latency dominates; on the virtual CPU mesh
+    (where ppermute is a memcpy) 'step' measures faster
+    (benchmarks/scaling.py ell_halo_mode), hence the default.
     """
 
     def __init__(self, A, b, n_levels: int, n_devices: int | None = None,
                  dtype=jnp.float64, interpolator=None, omega: float = 1.0,
-                 symmetric: bool = True, min_rows: int = 2):
+                 symmetric: bool = True, min_rows: int = 2,
+                 halo: str = "step"):
         import scipy.sparse as sp
         from amg_tpu.sparse.ell import ELL
         from amg_tpu.utils.coloring import greedy_coloring
 
         if n_devices is None:
             n_devices = len(jax.devices())
+        if halo not in ("strips", "step"):
+            raise ValueError(f"unknown halo mode {halo!r}; "
+                             "expected 'strips' or 'step'")
         D = n_devices
         self.D = D
         self.dtype = dtype
         self.omega = omega
         self.symmetric = symmetric
+        self.halo = halo
         A_sp = A.to_scipy() if isinstance(A, ELL) else A.tocsr()
         interp = interpolator or LinearInterpolator(n_levels)
 
@@ -208,7 +289,7 @@ class EllDistSolver:
         self.Bs = Bs
 
         # per-level color masks + diag (padded, sharded layout)
-        def level_aux(l, A_op):
+        def level_aux(l):
             n = sizes[l]
             rows_pad = D * Bs[l]
             ell = ELL.from_scipy(mats[l], dtype=dtype)
@@ -224,16 +305,36 @@ class EllDistSolver:
             dd = np.zeros(rows_pad)
             dd[:n] = mats[l].diagonal()
             dd[n:] = 1.0
-            return (jnp.asarray(masks, dtype=dtype),
-                    jnp.asarray(dd, dtype=dtype))
+            return masks, dd, colors_pad
 
         levels = []
+        ext_meta, ext_arrs = [], []
         for l in range(Ls):
             A_op, R_op, P_op = ops[l]
-            masks, diag = level_aux(l, A_op)
-            levels.append(dict(A=A_op, R=R_op, P=P_op, masks=masks,
-                               diag=diag))
+            masks_np, diag_np, colors_pad = level_aux(l)
+            levels.append(dict(A=A_op, R=R_op, P=P_op,
+                               masks=jnp.asarray(masks_np, dtype=dtype),
+                               diag=jnp.asarray(diag_np, dtype=dtype)))
+            # ghost strips: ONE exchange per sweep instead of one per color
+            # step (2C ppermute pairs -> 1). Eligible while the strip fits
+            # one neighbor slab (H <= B; extended compute <= 3x local).
+            C = masks_np.shape[0]
+            n_steps = (2 * C if symmetric else C)
+            H = n_steps * A_op.W
+            if halo == "strips" and 0 < H <= Bs[l]:
+                dE, cE, mE, gE = build_ext_panels(
+                    mats[l], colors_pad, diag_np, D, Bs[l], H)
+                ext_meta.append(H)
+                ext_arrs.append((jnp.asarray(dE, dtype=dtype),
+                                 jnp.asarray(cE, dtype=jnp.int32),
+                                 jnp.asarray(mE, dtype=dtype),
+                                 jnp.asarray(gE, dtype=dtype)))
+            else:
+                ext_meta.append(None)
+                ext_arrs.append(())
         self.levels = levels
+        self._ext_meta = ext_meta
+        self._ext_arrs = tuple(ext_arrs)
 
         # boundary prolongation uses global coarse indices into the
         # replicated coarse vector (padded with one zero slot for pads)
@@ -297,26 +398,40 @@ class EllDistSolver:
         Bs = self.Bs
         n_sub = sizes[Ls]
 
+        ext_meta = self._ext_meta
+
         def mc_sweep(l, data_loc, cols_loc, masks_loc, diag_loc, u_loc,
-                     b_loc):
+                     b_loc, ext):
             op = levels[l]["A"]
             C = masks_loc.shape[0]
             order = list(range(C))
             if symmetric:
                 order = order + order[::-1]
+            if ext:
+                # ghost-strip sweep: one H-wide exchange, then every color
+                # step runs locally on the extended rows (temporal
+                # blocking; H = n_steps*W keeps the block exact)
+                dataE, colsE, masksE, diagE = ext
+                H = ext_meta[l]
+                u_ext, b_ext = _exchange_strips_1d(u_loc, b_loc, H, D)
+                for c in order:
+                    r = b_ext - jnp.sum(dataE * u_ext[colsE], axis=1)
+                    u_ext = u_ext + (omega * masksE[c]) * (r / diagE)
+                return u_ext[H:H + op.B_x]
             for c in order:
                 r = b_loc - _matvec_local(op, data_loc, cols_loc, u_loc, D)
                 u_loc = u_loc + (omega * masks_loc[c]) * (r / diag_loc)
             return u_loc
 
-        def vcycle_local(level_arrays, Pb_data_loc, Pb_cols_loc, u_loc,
-                         b_loc):
+        def vcycle_local(level_arrays, ext_arrays, Pb_data_loc, Pb_cols_loc,
+                         u_loc, b_loc):
             us = [None] * Ls
             bs = [None] * Ls
             us[0], bs[0] = u_loc, b_loc
             for l in range(Ls):
                 aA, cA, aR, cR, aP, cP, masks, diag = level_arrays[l]
-                us[l] = mc_sweep(l, aA, cA, masks, diag, us[l], bs[l])
+                us[l] = mc_sweep(l, aA, cA, masks, diag, us[l], bs[l],
+                                 ext_arrays[l])
                 r = bs[l] - _matvec_local(levels[l]["A"], aA, cA, us[l], D)
                 coarse = _matvec_local(levels[l]["R"], aR, cR, r, D)
                 if l < Ls - 1:
@@ -337,15 +452,16 @@ class EllDistSolver:
                     corr = _matvec_local(levels[l]["P"], aP, cP, us[l + 1],
                                          D)
                 us[l] = us[l] + corr
-                us[l] = mc_sweep(l, aA, cA, masks, diag, us[l], bs[l])
+                us[l] = mc_sweep(l, aA, cA, masks, diag, us[l], bs[l],
+                                 ext_arrays[l])
             return us[0]
 
         def rss_local(a0, c0, u_loc, b_loc):
             r = b_loc - _matvec_local(levels[0]["A"], a0, c0, u_loc, D)
             return lax.psum(jnp.sum(r * r), AXIS)
 
-        def df_refine_local(level_arrays, Pb_data_loc, Pb_cols_loc,
-                            a0_hi, a0_lo, uh, ul, bh, bl):
+        def df_refine_local(level_arrays, ext_arrays, Pb_data_loc,
+                            Pb_cols_loc, a0_hi, a0_lo, uh, ul, bh, bl):
             """One df32 defect-correction step on the sharded fine level:
             double-float residual + rss (reference-grade accuracy at f32
             VPU speed), then ``cycles_per_refine`` f32 V-cycles on the
@@ -381,8 +497,8 @@ class EllDistSolver:
             err = lax.psum(df_rss(r), AXIS)
             e = jnp.zeros_like(uh)
             for _ in range(2):  # cycles_per_refine
-                e = vcycle_local(level_arrays, Pb_data_loc, Pb_cols_loc,
-                                 e, r.hi)
+                e = vcycle_local(level_arrays, ext_arrays, Pb_data_loc,
+                                 Pb_cols_loc, e, r.hi)
             u_next = df_add_f32(DF32(hi=uh, lo=ul), e)
             return u_next.hi, u_next.lo, err
 
@@ -396,11 +512,16 @@ class EllDistSolver:
             (P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
              P(AXIS, None), P(AXIS, None), P(None, AXIS), P(AXIS))
             for _ in range(Ls))
+        spec_ext = tuple(
+            (P(AXIS, None), P(AXIS, None), P(None, AXIS), P(AXIS))
+            if self._ext_meta[l] is not None else ()
+            for l in range(Ls))
         fld = P(AXIS)
         self._arrs = arrs
         self._vcycle = jax.jit(jax.shard_map(
             vcycle_local, mesh=mesh,
-            in_specs=(spec_lvl, P(AXIS, None), P(AXIS, None), fld, fld),
+            in_specs=(spec_lvl, spec_ext, P(AXIS, None), P(AXIS, None),
+                      fld, fld),
             out_specs=fld))
         self._rss = jax.jit(jax.shard_map(
             rss_local, mesh=mesh,
@@ -408,7 +529,7 @@ class EllDistSolver:
             out_specs=P()))
         self._refine = jax.jit(jax.shard_map(
             df_refine_local, mesh=mesh,
-            in_specs=(spec_lvl, P(AXIS, None), P(AXIS, None),
+            in_specs=(spec_lvl, spec_ext, P(AXIS, None), P(AXIS, None),
                       P(AXIS, None), P(AXIS, None), fld, fld, fld, fld),
             out_specs=(fld, fld, P())))
 
@@ -427,8 +548,8 @@ class EllDistSolver:
         return full[:self.sizes[0]]
 
     def vcycle_once(self, u_pad, b_pad):
-        return self._vcycle(self._arrs, self._Pb_data, self._Pb_cols,
-                            u_pad, b_pad)
+        return self._vcycle(self._arrs, self._ext_arrs, self._Pb_data,
+                            self._Pb_cols, u_pad, b_pad)
 
     def rss(self, u_pad, b_pad) -> float:
         a0, c0 = self._arrs[0][0], self._arrs[0][1]
@@ -479,9 +600,10 @@ class EllDistSolver:
         it = 0
         error = float("inf")
         for _ in range(n_refine):
-            uh2, ul2, err = self._refine(self._arrs, self._Pb_data,
-                                         self._Pb_cols, self._A0_hi,
-                                         self._A0_lo, uh, ul, bh, bl)
+            uh2, ul2, err = self._refine(self._arrs, self._ext_arrs,
+                                         self._Pb_data, self._Pb_cols,
+                                         self._A0_hi, self._A0_lo,
+                                         uh, ul, bh, bl)
             error = float(err)
             history.append((it, error))
             if error <= tolerance:

@@ -40,11 +40,33 @@ def bench_devices(side: int, D: int, iters: int = 20,
     b_pad = solver.pad_field(b2)
     u = jnp.zeros_like(b_pad)
     u = solver.vcycle(u, b_pad)
-    jax.block_until_ready(u)
+    float(solver.rss(u, b_pad))  # scalar fetch: the only reliable sync
     t0 = time.perf_counter()
     for _ in range(iters):
         u = solver.vcycle(u, b_pad)
-    jax.block_until_ready(u)
+    float(solver.rss(u, b_pad))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_ell(D: int, n: int = 63, n_levels: int = 5, iters: int = 20,
+              halo: str = "strips") -> float:
+    """ELL-path V-cycle time per halo mode (VERDICT r2 #5: the ghost-strip
+    one-exchange-per-sweep halo ported to the banded-window ELL path)."""
+    from amg_tpu.parallel.ell_dist import EllDistSolver
+
+    dtype = (jnp.float32 if jax.devices()[0].platform != "cpu"
+             else jnp.float64)
+    A, b = poisson.poisson2d(n)
+    solver = EllDistSolver(A, b, n_levels=n_levels, n_devices=D,
+                           dtype=dtype, halo=halo)
+    b_pad = solver.pad_vec(b)
+    u = jnp.zeros_like(b_pad)
+    u = solver.vcycle_once(u, b_pad)
+    float(solver.rss(u, b_pad))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        u = solver.vcycle_once(u, b_pad)
+    float(solver.rss(u, b_pad))
     return (time.perf_counter() - t0) / iters
 
 
@@ -73,6 +95,13 @@ def main():
                          ("overlap", False)):
             t = bench_devices(side, D, halo=halo, force_var=fv)
             print(json.dumps({"scenario": "halo_mode", "side": side,
+                              "n_devices": D, "halo": halo,
+                              "vcycle_ms": round(t * 1e3, 3)}), flush=True)
+        # same comparison on the banded-window ELL path: per-color-step
+        # exchange vs one-ghost-strip-per-sweep
+        for halo in ("step", "strips"):
+            t = bench_ell(D, halo=halo)
+            print(json.dumps({"scenario": "ell_halo_mode", "n": 63,
                               "n_devices": D, "halo": halo,
                               "vcycle_ms": round(t * 1e3, 3)}), flush=True)
 

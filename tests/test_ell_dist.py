@@ -95,3 +95,36 @@ def test_ell_dist_solve_ir_reaches_reference_tolerance():
     assert res.converged and res.error <= 1e-9
     u_dir = np.linalg.solve(np.asarray(A.to_dense()), np.asarray(b))
     assert np.abs(np.asarray(res.u) - u_dir).max() < 1e-5
+
+
+def test_ell_halo_strips_matches_step():
+    """VERDICT r2 #5: the ghost-strip (one-exchange-per-sweep) halo mode
+    must produce the SAME iterates as the per-color-step exchange — the
+    extended rows recompute exactly the neighbor updates the per-step
+    exchange would have communicated."""
+    n = 35
+    A, b = poisson.poisson2d(n)
+    step = EllDistSolver(A, b, n_levels=6, n_devices=8, dtype=jnp.float64,
+                         halo="step")
+    strips = EllDistSolver(A, b, n_levels=6, n_devices=8,
+                           dtype=jnp.float64, halo="strips")
+    # strips must actually engage on at least the fine level
+    assert any(h is not None for h in strips._ext_meta), strips._ext_meta
+    assert all(h is None for h in step._ext_meta)
+
+    b_pad_s = step.pad_vec(b)
+    b_pad_g = strips.pad_vec(b)
+    u_s = jnp.zeros_like(b_pad_s)
+    u_g = jnp.zeros_like(b_pad_g)
+    for _ in range(3):
+        u_s = step.vcycle_once(u_s, b_pad_s)
+        u_g = strips.vcycle_once(u_g, b_pad_g)
+    np.testing.assert_allclose(np.asarray(strips.unpad_vec(u_g)),
+                               np.asarray(step.unpad_vec(u_s)),
+                               rtol=1e-12, atol=1e-13)
+
+    # and the df32 mixed-precision solve converges identically
+    s32 = EllDistSolver(A, b, n_levels=6, n_devices=8, dtype=jnp.float32,
+                        halo="strips")
+    res = s32.solve_ir(tolerance=1e-8, n_refine=40)
+    assert res.converged, (res.iterations, res.error)
