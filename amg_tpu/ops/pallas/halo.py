@@ -83,8 +83,10 @@ def _halo_kernel(u_ref, out_ref, send_sem, recv_sem, *, G: int,
     def _():
         rdma_up.start()
 
-    # (a fused smoother kernel would run its interior color steps HERE,
-    # overlapping compute with the strips in flight)
+    # (interior compute can overlap the strips in flight here; the
+    # production integration — DistStructuredSolver(halo="rdma") — runs
+    # this exchange per ghost-strip sweep and leaves the overlap
+    # scheduling to XLA, cf. structured_dist._gs4_sweep_rdma_const)
 
     @pl.when(my < D - 1)
     def _():

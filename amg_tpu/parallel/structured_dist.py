@@ -245,6 +245,40 @@ def _gs4_sweep_overlap_const(w33, u_loc, b_loc, side: int, sweeps: int,
     return u_ext, b_ext_in, G
 
 
+def _gs4_sweep_rdma_const(w33, u_loc, b_loc, side: int, sweeps: int,
+                          omega: float, symmetric: bool, D: int,
+                          interpret: bool = False):
+    """Ghost-strip sweep whose exchange is the Pallas RDMA kernel
+    (ops/pallas/halo.py): ``make_async_remote_copy`` pushes the (u, b)
+    boundary strips directly into the neighbors' receive buffers under
+    explicit semaphore control — the SURVEY §2/§5 NCCL-p2p analog — instead
+    of a ``lax.ppermute``. u and b strips ride ONE kernel call (stacked
+    along columns, so the partitioned row axis stays the exchange axis).
+    Identical results to _gs4_sweep_ghost_const; falls back to it when the
+    strip spans more than one neighbor slab (G > B: the RDMA kernel is
+    single-hop)."""
+    B, n = u_loc.shape
+    steps = (8 if symmetric else 4) * sweeps
+    G = steps + 2
+    if G % 2:
+        G += 1
+    if D == 1 or G > B:
+        return _gs4_sweep_ghost_const(w33, u_loc, b_loc, side, sweeps,
+                                      omega, symmetric, D)
+    from amg_tpu.ops.pallas.halo import rdma_halo_exchange
+
+    stacked = jnp.concatenate([u_loc, b_loc], axis=1)  # (B, 2n)
+    strips = rdma_halo_exchange(stacked, G, AXIS, interpret=interpret)
+    u_ext = jnp.concatenate([strips[:G, :n], u_loc, strips[G:, :n]],
+                            axis=0)
+    b_ext = jnp.concatenate([strips[:G, n:], b_loc, strips[G:, n:]],
+                            axis=0)
+    dev = lax.axis_index(AXIS)
+    u_ext = _masked_steps_const(w33, u_ext, b_ext, dev * B - G, side,
+                                sweeps, omega, symmetric)
+    return u_ext, b_ext, G
+
+
 def _matvec_const(w33, u_loc, side: int, B: int, D: int):
     """Constant-stencil SpMV on the slab: 1-row halo + conv; padding rows
     (global row >= side) act as identity (u there is kept zero)."""
@@ -416,9 +450,15 @@ class DistConfig:
     w33s: tuple = ()
     # 'overlap' = one ghost-strip exchange per sweep, hidden behind the
     # interior compute (const levels only; default); 'sweep' = same
-    # exchange without the overlap restructuring; 'step' =
-    # reference-style exchange before every color step
+    # exchange without the overlap restructuring; 'rdma' = ghost strips
+    # exchanged by the Pallas make_async_remote_copy kernel
+    # (ops/pallas/halo.py) instead of ppermute; 'step' = reference-style
+    # exchange before every color step
     halo: str = "overlap"
+    # interpret-mode setting for the 'rdma' kernel: False on a real TPU
+    # slice; a pltpu.InterpretParams instance on the CPU mesh, where the
+    # Mosaic interpreter simulates the remote DMAs and semaphores
+    rdma_interpret: object = False
 
 
 def plan_distribution(side: int, n_levels: int, n_devices: int,
@@ -533,8 +573,12 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
     bs = [None] * Ls
     us[0], bs[0] = u_loc, b_loc
 
+    from functools import partial as _partial
+
     ghost_fns = {"sweep": _gs4_sweep_ghost_const,
-                 "overlap": _gs4_sweep_overlap_const}
+                 "overlap": _gs4_sweep_overlap_const,
+                 "rdma": _partial(_gs4_sweep_rdma_const,
+                                  interpret=cfg.rdma_interpret)}
     ghost_fn = ghost_fns.get(cfg.halo)
 
     def smooth_only(l, u, b, sweeps):
@@ -616,11 +660,23 @@ class DistStructuredSolver:
                  omega: float = 1.0, symmetric: bool = True, A_fine=None,
                  halo: str = "overlap", force_var: bool = False,
                  cycles_per_refine: int = 2):
+        if halo not in ("overlap", "sweep", "step", "rdma"):
+            raise ValueError(f"unknown halo mode {halo!r}")
         cfg, coeffs, sub_hier = build_dist_hierarchy(
             side, n_levels, n_devices, dtype, A_fine, force_var=force_var)
-        cfg = dataclasses.replace(cfg, pre_sweeps=pre_sweeps,
-                                  post_sweeps=post_sweeps, omega=omega,
-                                  symmetric=symmetric, halo=halo)
+        if halo == "rdma" and jax.devices()[0].platform != "tpu":
+            # off-TPU the remote DMAs + semaphores are simulated by the
+            # Mosaic TPU interpreter (plain interpret=True routes to the
+            # HLO interpreter, which cannot model DMA semaphores)
+            from jax.experimental.pallas import tpu as pltpu
+
+            rdma_interpret = pltpu.InterpretParams()
+        else:
+            rdma_interpret = False
+        cfg = dataclasses.replace(
+            cfg, pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
+            omega=omega, symmetric=symmetric, halo=halo,
+            rdma_interpret=rdma_interpret)
         self.cfg = cfg
         self.dtype = dtype
         self.side = side
@@ -640,10 +696,14 @@ class DistStructuredSolver:
         def vc(coeffs_, sub_hier_, u, b):
             return _vcycle_local(cfg, coeffs_, sub_hier_, u, b)
 
+        # check_vma=False under 'rdma': the interpret-mode remote-DMA
+        # primitives don't propagate varying-manual-axes metadata
+        # (cf. tests/test_pallas_halo.py)
+        chk = halo != "rdma"
         self._vcycle = jax.jit(jax.shard_map(
             vc, mesh=self.mesh,
             in_specs=(spec_coeffs, P(), spec_field, spec_field),
-            out_specs=spec_field))
+            out_specs=spec_field, check_vma=chk))
 
         def rss_fn(c0, u, b):
             if cfg.w33s and cfg.w33s[0] is not None:
@@ -657,7 +717,7 @@ class DistStructuredSolver:
         self._rss = jax.jit(jax.shard_map(
             rss_fn, mesh=self.mesh,
             in_specs=(spec_coeffs[0], spec_field, spec_field),
-            out_specs=P()))
+            out_specs=P(), check_vma=chk))
 
         # df32 defect-correction refine step (const fine level only): one
         # high-precision residual + rss, then cycles_per_refine f32
@@ -688,7 +748,7 @@ class DistStructuredSolver:
                 refine_fn, mesh=self.mesh,
                 in_specs=(spec_coeffs, P(), spec_field, spec_field,
                           spec_field, spec_field),
-                out_specs=(spec_field, spec_field, P())))
+                out_specs=(spec_field, spec_field, P()), check_vma=chk))
 
             def solve_fn(coeffs_, sub_hier_, bh, bl, tol, n_refine):
                 """Whole defect-correction solve as ONE device program
@@ -734,7 +794,7 @@ class DistStructuredSolver:
                 solve_fn, mesh=self.mesh,
                 in_specs=(spec_coeffs, P(), spec_field, spec_field,
                           P(), P()),
-                out_specs=(spec_field, spec_field, P())))
+                out_specs=(spec_field, spec_field, P()), check_vma=chk))
         else:
             self._refine = None
             self._solve_device = None

@@ -197,3 +197,30 @@ def test_dist_solve_ir_device_matches_host_loop():
         2 * s.cycles_per_refine
     np.testing.assert_allclose(np.asarray(res_dev.u),
                                np.asarray(res_host.u), rtol=0, atol=1e-9)
+
+
+def test_dist_rdma_halo_matches_ghost_sweep():
+    """VERDICT r2 #6: the RDMA ghost-strip mode (Pallas
+    make_async_remote_copy exchange, ops/pallas/halo.py) wired into the
+    production distributed sweep must reproduce the ppermute ghost-sweep
+    V-cycle exactly (interpret mode simulates the remote DMAs on the CPU
+    mesh)."""
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    us = {}
+    for halo in ("sweep", "rdma"):
+        s = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64,
+                                 halo=halo)
+        bp = s.pad_field(b2)
+        us[halo] = np.asarray(s.unpad(s.vcycle(jnp.zeros_like(bp), bp)))
+    np.testing.assert_array_equal(us["sweep"], us["rdma"])
+
+
+def test_dist_rdma_solve_converges():
+    """End-to-end: the df32 distributed solve with RDMA halos reaches the
+    reference-grade tolerance."""
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s = DistStructuredSolver(side, n_devices=8, halo="rdma")
+    res = s.solve_ir(b2, tolerance=1e-9)
+    assert res.converged and res.error <= 1e-9
