@@ -16,6 +16,7 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
@@ -100,6 +101,22 @@ def default_forcing_jnp(x, y):
     return 5.0 * jnp.exp(-10.0 * (x * x + y * y))
 
 
+def _rhs_device_build(n: int, f, dtype):
+    domain = jnp.linspace(jnp.asarray(-1.0, dtype=dtype),
+                          jnp.asarray(1.0, dtype=dtype),
+                          n + N_BOUNDARY_POINTS)
+    interior = domain[1:-1]
+    X, Y = jnp.meshgrid(interior, interior, indexing="ij")
+    return f(X, Y).reshape(-1).astype(dtype)
+
+
+# module-level jit: a per-call jit wrapper would defeat the in-process
+# trace cache and retrace on every invocation (ADVICE r2). f and dtype are
+# static (f is hashable as a function object; repeat calls with the same
+# function reuse the cache).
+_rhs_device_j = partial(jax.jit, static_argnums=(0, 1, 2))(_rhs_device_build)
+
+
 def rhs_device(n: int, f=default_forcing_jnp, dtype=jnp.float64) -> jnp.ndarray:
     """Forcing vector b evaluated ON DEVICE (jit) — no bulk host transfer.
 
@@ -113,18 +130,7 @@ def rhs_device(n: int, f=default_forcing_jnp, dtype=jnp.float64) -> jnp.ndarray:
     setup transfer-free. Values agree with :func:`rhs` to f64 roundoff
     (linspace endpoints are exact; see tests/test_poisson.py).
     """
-    import jax
-
-    @partial(jax.jit, static_argnums=(0,))
-    def _build(n_):
-        domain = jnp.linspace(jnp.asarray(-1.0, dtype=dtype),
-                              jnp.asarray(1.0, dtype=dtype),
-                              n_ + N_BOUNDARY_POINTS)
-        interior = domain[1:-1]
-        X, Y = jnp.meshgrid(interior, interior, indexing="ij")
-        return f(X, Y).reshape(-1).astype(dtype)
-
-    return _build(n)
+    return _rhs_device_j(n, f, dtype)
 
 
 def poisson2d(n: int, f=default_forcing, dtype=jnp.float64):

@@ -6,8 +6,8 @@ arrays (values + column indices, rows padded to the max row degree K), so
 SpMV becomes a gather + an elementwise multiply + a row reduction — all
 static-shape, fusible XLA ops. This replaces the reference's Eigen
 ``SparseMatrix`` CSC storage (used throughout include/amg/*.hpp); CSR/CSC
-remain host-side *setup* formats (see amg_tpu/sparse/csr.py), ELL is what
-lives on device.
+remain host-side *setup* formats (scipy, converted via ``ELL.from_scipy``),
+ELL is what lives on device.
 
 Padding convention: padded slots store ``col = row`` and ``val = 0`` so that
 gathers stay within any row-partition's halo window and contribute exactly

@@ -332,3 +332,21 @@ def test_chebyshev_on_variable_coefficient_levels():
                                np.asarray(b2, dtype=np.float64).reshape(-1))
     np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
                                rtol=0, atol=1e-7)
+
+
+def test_poisson_planes_pair_with_const_w33():
+    """ADVICE r2: bench.py asserts poisson_const_w33 as the w33 of the
+    device-built poisson_planes without re-detecting; guard the pairing so
+    drift between the two builders can't silently corrupt the fast path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from amg_tpu.ops.rap import poisson_const_w33, poisson_planes
+    from amg_tpu.sparse.stencil import detect_const_stencil
+
+    for side in (7, 31):
+        detected = detect_const_stencil(
+            np.asarray(poisson_planes(side, jnp.float64)), side)
+        assert detected is not None
+        declared = poisson_const_w33(side, 1)[0]
+        np.testing.assert_array_equal(np.asarray(detected),
+                                      np.asarray(declared))
