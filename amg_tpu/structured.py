@@ -301,6 +301,72 @@ def vcycle_stencil(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     return us[0]
 
 
+# Packed levels below this side run the masked machinery instead: the
+# fields there are a few hundred KB and the per-level pack of the dense
+# restriction output stops paying. Measured r3 (v5e, honest scalar-fetch
+# timing): the packed path wins at every level size tried — solves
+# 0.105 s @4095^2 (vs 0.154 fused / >0.4 masked), 0.031 s @2047^2 (vs
+# 0.079 masked), 0.025 s @1023^2 (vs 0.032 masked) — and pms=1000 vs
+# pms=200 measured identical, so the threshold only guards tiny levels.
+PACKED_MIN_SIDE = 200
+
+
+def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
+                  post_sweeps: int = 1, omega: float = 1.0,
+                  symmetric: bool = True, _level: int = 0,
+                  _packed_in: bool = False, min_side: int | None = None):
+    """V-cycle with color-packed smoothing/residual/transfer
+    (sparse/packed.py) on constant-stencil levels of side >= min_side:
+    each color step evaluates the 9-point stencil at only the n^2/4
+    points it updates. Identical leg order and iterates to vcycle_stencil
+    (up to fp reassociation; tests/test_packed.py asserts 1e-12
+    agreement).
+
+    Levels below min_side — where the masked sweep's fusion is already
+    near speed-of-light — and variable-coefficient levels run the masked
+    machinery (cycle_stencil) from there down. When ``_packed_in`` is
+    True, u2/b2 arrive packed ((4, M, M)) and the result returns packed:
+    the device solve loop keeps its whole state packed and pays
+    pack/unpack once per SOLVE (an odd-size full-field relayout measures
+    ~10-50x one sweep — never put one in the cycle)."""
+    from amg_tpu.sparse.packed import (gs4_sweep_packed, pack,
+                                       prolong_add_packed, residual_packed,
+                                       restrict_packed, unpack)
+
+    if min_side is None:
+        min_side = PACKED_MIN_SIDE
+    l = _level
+    L = hier.n_levels
+    S = hier.levels[l]
+    if not _packed_in and (S.w33 is None or S.side < min_side
+                           or l == L - 1):
+        # masked machinery from here down (including the coarsest-level
+        # direct solve)
+        return cycle_stencil(hier, u2, b2, 1, pre_sweeps, post_sweeps,
+                             omega, symmetric, _level=l)
+    if S.w33 is None:
+        raise ValueError("packed input requires a const-stencil level")
+    m = (S.side - 1) // 2
+    if _packed_in:
+        u4, b4 = u2, b2
+    else:
+        u4 = pack(u2, m)
+        b4 = pack(b2, m)
+    for _ in range(pre_sweeps):
+        u4 = gs4_sweep_packed(u4, b4, S.w33, m, omega, symmetric)
+    r4 = residual_packed(u4, b4, S.w33, m)
+    bc = restrict_packed(r4, m)  # dense (m, m) coarse field
+    uc = vcycle_packed(hier, jnp.zeros_like(bc), bc, pre_sweeps,
+                       post_sweeps, omega, symmetric, _level=l + 1,
+                       min_side=min_side)
+    u4 = prolong_add_packed(u4, uc, m)
+    for _ in range(post_sweeps):
+        u4 = gs4_sweep_packed(u4, b4, S.w33, m, omega, symmetric)
+    if _packed_in:
+        return u4
+    return unpack(u4, m)
+
+
 def cycle_stencil(hier: StencilHierarchy, u2, b2, gamma: int = 1,
                   pre_sweeps: int = 1, post_sweeps: int = 1,
                   omega: float = 1.0, symmetric: bool = True,
@@ -333,7 +399,7 @@ def cycle_stencil(hier: StencilHierarchy, u2, b2, gamma: int = 1,
 def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
                 pre_sweeps: int = 1, post_sweeps: int = 1,
                 omega: float = 1.0, symmetric: bool = True,
-                gamma: int = 1):
+                gamma: int = 1, start_level: int = 0):
     """Full multigrid (nested iteration): restrict the RHS down the whole
     hierarchy, solve the coarsest level directly, then interpolate the
     *solution* up level by level, running ``cycles_per_level`` cycles at
@@ -346,13 +412,16 @@ def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
     used by ``StructuredSolver`` to cut defect-correction steps.
     """
     L = hier.n_levels
-    bs = [b2]
-    for l in range(L - 1):
-        bs.append(restrict_mm(bs[l], hier.P1s[l]))
+    l0 = start_level  # b2 is the field at this level (packed-path FMG
+    # starts at level 1 so the expensive fine level is never smoothed
+    # with the masked machinery)
+    bs = {l0: b2}
+    for l in range(l0, L - 1):
+        bs[l + 1] = restrict_mm(bs[l], hier.P1s[l])
     nc = hier.sides[-1]
     u = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
-                                  bs[-1].reshape(-1)).reshape(nc, nc)
-    for l in range(L - 2, -1, -1):
+                                  bs[L - 1].reshape(-1)).reshape(nc, nc)
+    for l in range(L - 2, l0 - 1, -1):
         u = prolong_mm(u, hier.P1s[l])
         for _ in range(cycles_per_level):
             u = cycle_stencil(hier, u, bs[l], gamma, pre_sweeps,
@@ -457,11 +526,12 @@ class StructuredSolver:
     """
 
     def __init__(self, side: int, n_levels: int | None = None,
-                 smoother: str = "masked", pre_sweeps: int = 1,
+                 smoother: str = "packed", pre_sweeps: int = 1,
                  post_sweeps: int = 1, omega: float = 1.0,
                  symmetric: bool = True, cycles_per_refine: int = 2,
                  A_fine=None, device_setup: bool | None = None,
-                 fmg: bool = True, precision: str = "df32", config=None):
+                 fmg: bool = True, precision: str = "df32", config=None,
+                 packed_min_side: int | None = None):
         from amg_tpu.ops.rap import poisson_planes
 
         # config.StructuredConfig centralizes the TPU-path knobs
@@ -476,7 +546,7 @@ class StructuredSolver:
         if device_setup is None:
             device_setup = (A_fine is None
                             and smoother in ("masked", "chebyshev",
-                                             "fused"))
+                                             "fused", "packed"))
         if device_setup and A_fine is None:
             self.hier = build_stencil_hierarchy_device(side, n_levels,
                                                        smoother=smoother)
@@ -498,10 +568,24 @@ class StructuredSolver:
         # NOTE: the hierarchy and A64 are jit ARGUMENTS, not closure
         # captures — captured device arrays get inlined as HLO constants,
         # bloating the module ~20x and stalling the compiler at 1M dofs.
+        # smoother="packed" swaps the whole cycle for the color-packed
+        # variant (stencil evaluated once per point; sparse/packed.py)
+        # on levels >= packed_min_side
+        pms = (PACKED_MIN_SIDE if packed_min_side is None
+               else packed_min_side)
+        self.packed_min_side = pms
+        if smoother == "packed":
+            def _vc(h, u, b):
+                return vcycle_packed(h, u, b, pre_sweeps, post_sweeps,
+                                     omega, symmetric, min_side=pms)
+        else:
+            def _vc(h, u, b):
+                return vcycle_stencil(h, u, b, pre_sweeps, post_sweeps,
+                                      omega, symmetric)
+
         def cycles32(h, e2, r32):
             for _ in range(cycles_per_refine):
-                e2 = vcycle_stencil(h, e2, r32, pre_sweeps, post_sweeps,
-                                    omega, symmetric)
+                e2 = _vc(h, e2, r32)
             return e2
 
         @jax.jit
@@ -602,6 +686,76 @@ class StructuredSolver:
             return u.to_f64(), jnp.stack([final_err,
                                           it.astype(jnp.float64)])
 
+        # Packed-state device loop: when the fine level is packed-eligible
+        # the WHOLE defect-correction state (u, b, residual) stays
+        # color-packed across the while_loop — df32 residual + rss in
+        # packed form (sparse/packed.py), pack/unpack exactly once per
+        # solve. This is what makes the packed smoother win end-to-end:
+        # an odd-size full-field relayout per step would cost more than
+        # the sweeps it saves.
+        use_packed_loop = (smoother == "packed" and A64_w33 is not None
+                           and side >= pms)
+        if use_packed_loop:
+            m_f = (side - 1) // 2
+
+            def cycles32_p(h, e4, r4hi):
+                for _ in range(cycles_per_refine):
+                    e4 = vcycle_packed(h, e4, r4hi, pre_sweeps,
+                                       post_sweeps, omega, symmetric,
+                                       _packed_in=True, min_side=pms)
+                return e4
+
+            @partial(jax.jit, static_argnums=(4,))
+            def solve_loop_df32_packed(h, A_c_df, b64, tol, n_refine):
+                from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
+                                                     df_rss)
+                from amg_tpu.sparse.packed import (
+                    df_residual_const_packed, pack, unpack)
+
+                b_df = DF32.from_f64(b64)
+                b4 = DF32(hi=pack(b_df.hi, m_f), lo=pack(b_df.lo, m_f))
+
+                def residual(u4):
+                    return df_residual_const_packed(A64_w33, b4, u4, m_f)
+
+                def cond(state):
+                    u4, err, it = state
+                    return (err > tol) & (it < n_refine)
+
+                def body(state):
+                    u4, _, it = state
+                    r = residual(u4)
+                    err = df_rss(r)
+                    e4 = cycles32_p(h, jnp.zeros_like(r.hi), r.hi)
+                    return df_add_f32(u4, e4), err, it + 1
+
+                if fmg:
+                    # nested-iteration start WITHOUT touching the fine
+                    # level: restrict b (packed) to level 1, FMG the
+                    # coarse hierarchy with the masked machinery (cheap
+                    # at <= side/2), prolong the result back into packed
+                    # form. The refine loop's first packed V-cycles do
+                    # the fine-level work FMG would have done.
+                    from amg_tpu.sparse.packed import (prolong_add_packed,
+                                                       restrict_packed)
+
+                    bc = restrict_packed(b4.hi, m_f)
+                    uc = fmg_stencil(h, bc, 1, pre_sweeps, post_sweeps,
+                                     omega, symmetric, start_level=1)
+                    u0 = DF32.from_f32(prolong_add_packed(
+                        jnp.zeros_like(b4.hi), uc, m_f))
+                else:
+                    u0 = DF32.from_f32(jnp.zeros_like(b4.hi))
+                init = (u0, jnp.asarray(jnp.inf, dtype=jnp.float64),
+                        jnp.asarray(0, dtype=jnp.int32))
+                u4, _, it = jax.lax.while_loop(cond, body, init)
+                final_err = df_rss(residual(u4))
+                u = (unpack(u4.hi, m_f).astype(jnp.float64)
+                     + unpack(u4.lo, m_f).astype(jnp.float64))
+                return u, jnp.stack([final_err, it.astype(jnp.float64)])
+        else:
+            solve_loop_df32_packed = None
+
         self._cycles32 = jax.jit(cycles32)
         self._refine_step_j = refine_step
         self._residual_rss_j = residual_rss
@@ -609,7 +763,8 @@ class StructuredSolver:
             from amg_tpu.ops.doublefloat import DF32
 
             self._A_df = DF32.from_f64(A64.c)
-            self._solve_loop_j = solve_loop_df32
+            self._solve_loop_j = (solve_loop_df32_packed
+                                  if use_packed_loop else solve_loop_df32)
         elif precision == "f64":
             self._A_df = None
             self._solve_loop_j = solve_loop_f64

@@ -85,6 +85,24 @@ def main(sides=(1023, 2047, 4095)):
             t_f = time_it(lambda: floop(up, bp, inner, db)) / inner
             row[f"fused_{'db' if db else 'sb'}_ms"] = round(t_f * 1e3, 4)
             row[f"fused_{'db' if db else 'sb'}_tr"] = ps.tr
+
+        # color-packed sweep (sparse/packed.py): 4x fewer stencil evals
+        from amg_tpu.sparse.packed import gs4_sweep_packed, pack
+
+        m = (side - 1) // 2
+        u4 = pack(u0, m)
+        b4 = pack(b2, m)
+        w33 = S.w33
+
+        @partial(jax.jit, static_argnums=(2,))
+        def ploop(u_, b_, k):
+            out = jax.lax.fori_loop(
+                0, k, lambda _, uu: gs4_sweep_packed(uu, b_, w33, m,
+                                                     1.0, True), u_)
+            return jnp.sum(out)
+
+        t_p = time_it(lambda: ploop(u4, b4, inner)) / inner
+        row["packed_ms"] = round(t_p * 1e3, 4)
         sol_s = bytes_per_sweep / (roof.hbm_gbps * 1e9)
         row["masked_sol_pct"] = round(100 * sol_s / t_masked, 1)
         results[side] = row
