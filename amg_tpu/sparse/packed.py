@@ -48,6 +48,9 @@ def pack(u2: jnp.ndarray, m: int) -> jnp.ndarray:
     form (~17 ms vs ~0.5 ms at 4095^2 — the barrier stops it re-fusing).
     No strided slicing and no scatter anywhere (a strided .at[::2].set
     lowers to scatter, ~10x the whole sweep's cost)."""
+    if u2.shape[-1] != 2 * m + 1:
+        raise ValueError(f"pack expects an odd ({2*m+1})-sided field, "
+                         f"got {u2.shape}")
     M = m + 1
     u2p = jnp.pad(u2, ((0, 1), (0, 1)))  # (2M, 2M); pad row/col -> zeros
     v = u2p.reshape(2 * M, M, 2).transpose(2, 0, 1)   # cols: (pi, 2M, M)
