@@ -151,6 +151,49 @@ class Stencil2D:
         return Stencil2D(c=self.c.astype(dtype), side=self.side,
                          w33=self.w33)
 
+    @staticmethod
+    def const(w33, side: int, dtype=jnp.float32) -> "Stencil2D":
+        """Constant-stencil operator with NO materialized planes (c is an
+        empty (3,3,0,0) placeholder): every production op — matvec2,
+        inv_diag, sweeps, packed/fused kernels — reads only the static
+        w33. At 8191^2 the fine-level planes alone are 2.4 GB (f32) /
+        4.8 GB (f64) of HBM the const paths never touch; skipping them is
+        what lets 67M-dof hierarchies fit on one chip. Densify/IO paths
+        that need planes can rebuild them with ``const_planes``."""
+        if w33 is None:
+            raise ValueError("Stencil2D.const requires a w33 tuple")
+        return Stencil2D(c=jnp.zeros((3, 3, 0, 0), dtype=dtype),
+                         side=side, w33=w33)
+
+
+def const_planes(w33, side: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Materialize (3,3,n,n) coefficient planes for a constant stencil
+    with zero-padding boundary semantics (the inverse of
+    detect_const_stencil; used for the coarsest-level densify)."""
+    n = side
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    planes = []
+    for dj in (-1, 0, 1):
+        row = []
+        for di in (-1, 0, 1):
+            inb = ((j + dj >= 0) & (j + dj < n)
+                   & (i + di >= 0) & (i + di < n))
+            row.append(jnp.where(inb, jnp.asarray(w33[dj + 1][di + 1],
+                                                  dtype=dtype), 0))
+        planes.append(jnp.stack(row))
+    return jnp.stack(planes)
+
+
+def color_masks_iota(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(4, n, n) parity-class masks from iota — safe to build INSIDE a jit
+    trace (color_masks is host numpy: traced use would embed a full-field
+    HLO constant)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return jnp.stack([((j % 2) == pj) & ((i % 2) == pi)
+                      for pj, pi in FOUR_COLORS]).astype(dtype)
+
 
 def detect_const_stencil(c_np: np.ndarray, side: int) -> tuple | None:
     """Return the 3x3 weight tuple if the planes are EXACTLY a constant

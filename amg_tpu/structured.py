@@ -162,18 +162,22 @@ def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
                                    dtype=jnp.float32,
                                    smoother: str = "masked"
                                    ) -> StencilHierarchy:
-    """Build the whole Poisson hierarchy ON DEVICE: fine planes from the
-    closed-form stencil pattern, coarse levels via the closed-form Galerkin
-    RAP (ops/rap.py), transfers/masks from device iota, coarsest dense LU
-    from densified planes.
+    """Build the whole Poisson hierarchy ON DEVICE with no materialized
+    coefficient planes or masks: every level's operator is EXACTLY the
+    closed-form constant stencil (ops/rap.poisson_const_w33 — the
+    bitwise-verified Galerkin/bilinear closure), so levels carry only the
+    static 3x3 weight tuples (`Stencil2D.const`); the coarsest dense LU is
+    densified from those weights, transfers come from device iota, and
+    color masks are rebuilt from iota inside any sweep that needs them.
 
-    No host sparse assembly and no bulk host->device transfer — setup cost
-    is one jitted program (vs tens of seconds of scipy + tunnel transfers
-    for 1M-dof grids). Numerics: identical operators up to `dtype` rounding
-    of the RAP accumulation.
+    Memory: the r2 version materialized (3,3,n,n) planes plus (4,n,n)
+    masks per level — 3.4 GB at 8191^2 that no const-path op ever reads;
+    skipping them is what lets 67M-dof hierarchies fit one chip's HBM.
+    No host sparse assembly and no bulk host->device transfer — setup is
+    one small jitted program.
     """
-    from amg_tpu.ops.rap import (build_hierarchy_planes, interp1d_dense,
-                                 planes_to_dense, poisson_planes)
+    from amg_tpu.ops.rap import interp1d_dense, poisson_const_w33
+    from amg_tpu.sparse.stencil import const_planes
 
     if n_levels is None:
         n_levels = max_levels_for_side(side)
@@ -183,31 +187,22 @@ def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
         if (n - 1) % 2 or n < 3:
             raise ValueError(f"cannot coarsen side {n}; use side = 2^k - 1")
         sides.append((n - 1) // 2)
+    w33s = poisson_const_w33(side, n_levels)
 
     @jax.jit
     def _build():
-        planes = build_hierarchy_planes(poisson_planes(side, dtype),
-                                        n_levels)
-        coarse = planes_to_dense(planes[-1])
+        from amg_tpu.ops.rap import planes_to_dense
+
+        coarse = planes_to_dense(const_planes(w33s[-1], sides[-1], dtype))
         lu, piv = jax.scipy.linalg.lu_factor(coarse)
         P1s = tuple(interp1d_dense(sides[l], sides[l + 1], dtype)
                     for l in range(n_levels - 1))
-        masks = []
-        for s in sides:
-            j = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-            i = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-            masks.append(jnp.stack(
-                [((j % 2) == pj) & ((i % 2) == pi)
-                 for pj, pi in ((0, 0), (0, 1), (1, 0), (1, 1))]
-            ).astype(dtype))
-        return tuple(planes), lu, piv, P1s, tuple(masks)
+        return lu, piv, P1s
 
-    planes, lu, piv, P1s, masks = _build()
-    from amg_tpu.ops.rap import poisson_const_w33
-
-    w33s = poisson_const_w33(side, n_levels)
-    levels = tuple(Stencil2D(c=c, side=s, w33=w)
-                   for c, s, w in zip(planes, sides, w33s))
+    lu, piv, P1s = _build()
+    masks = (None,) * n_levels
+    levels = tuple(Stencil2D.const(w, s, dtype=dtype)
+                   for s, w in zip(sides, w33s))
     padded = (None,) * n_levels
     if smoother == "fused":
         # const-stencil levels carry only static w33 metadata in their
@@ -261,8 +256,15 @@ def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
         for _ in range(sweeps):
             up = fused_gs4_sweep(ps, up, bp, omega, symmetric)
         return ps.unpad_field(up)
+    # mask fallback: plane-free (device-built) hierarchies store no mask
+    # arrays — rebuild from iota inside the trace (fuses to predicates)
+    masks = hier.masks[l]
+    if masks is None:
+        from amg_tpu.sparse.stencil import color_masks_iota
+
+        masks = color_masks_iota(S.side, b2.dtype)
     for _ in range(sweeps):
-        u2 = gs4_sweep_masked(S, u2, b2, hier.masks[l], omega, symmetric)
+        u2 = gs4_sweep_masked(S, u2, b2, masks, omega, symmetric)
     return u2
 
 
@@ -552,8 +554,10 @@ class StructuredSolver:
                                                        smoother=smoother)
             from amg_tpu.ops.rap import poisson_const_w33
 
-            A64 = Stencil2D(c=poisson_planes(side, jnp.float64), side=side,
-                            w33=poisson_const_w33(side, 1)[0])
+            # plane-free f64 operator: residual/rss use the static
+            # weights; the f64 planes would be 4.8 GB at 8191^2
+            A64 = Stencil2D.const(poisson_const_w33(side, 1)[0], side,
+                                  dtype=jnp.float64)
         else:
             if A_fine is None:
                 A_fine = poisson.laplacian_scipy(side)  # built once, shared
@@ -762,7 +766,10 @@ class StructuredSolver:
         if precision == "df32":
             from amg_tpu.ops.doublefloat import DF32
 
-            self._A_df = DF32.from_f64(A64.c)
+            # const fine operators never read the df plane split (the
+            # residual uses exact static (hi, lo) weight pairs)
+            self._A_df = (None if A64.w33 is not None
+                          else DF32.from_f64(A64.c))
             self._solve_loop_j = (solve_loop_df32_packed
                                   if use_packed_loop else solve_loop_df32)
         elif precision == "f64":

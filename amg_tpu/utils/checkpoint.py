@@ -22,7 +22,12 @@ def save_stencil_hierarchy(path: str, hier) -> None:
             "coarse_piv": np.asarray(hier.coarse_piv),
             "smoother": np.asarray(hier.smoother)}
     for i, lev in enumerate(hier.levels):
-        arrs[f"c{i}"] = np.asarray(lev.c)
+        # plane-free const levels (Stencil2D.const) serialize their 3x3
+        # weights instead of (possibly multi-GB) plane arrays
+        if lev.w33 is not None and lev.c.size == 0:
+            arrs[f"w{i}"] = np.asarray(lev.w33)
+        else:
+            arrs[f"c{i}"] = np.asarray(lev.c)
     np.savez_compressed(path, **arrs)
 
 
@@ -35,6 +40,11 @@ def load_stencil_hierarchy(path: str, dtype=None):
     sides = tuple(int(s) for s in z["sides"])
     levels = []
     for i, side in enumerate(sides):
+        if f"w{i}" in z:
+            w33 = tuple(tuple(float(v) for v in row) for row in z[f"w{i}"])
+            levels.append(Stencil2D.const(
+                w33, side, dtype=(dtype or z["coarse_lu"].dtype)))
+            continue
         c = z[f"c{i}"]
         if dtype is not None:
             c = c.astype(dtype)
@@ -44,7 +54,9 @@ def load_stencil_hierarchy(path: str, dtype=None):
     P1s = tuple(jnp.asarray(linear_interp_1d(sides[l], sides[l + 1]
                                              ).toarray(), dtype=dt)
                 for l in range(len(sides) - 1))
-    masks = tuple(color_masks(s, dt) for s in sides)
+    # plane-free levels rebuild masks from iota at sweep time
+    masks = tuple(None if lev.c.size == 0 else color_masks(s, dt)
+                  for lev, s in zip(levels, sides))
     padded = [None] * len(sides)
     if smoother == "fused":
         from amg_tpu.ops.pallas.rbgs import PaddedStencil

@@ -330,6 +330,13 @@ def main():
                                   "solve_4095")
     else:
         t4095, t4095_err = None, f"skipped (budget {budget_left():.0f}s)"
+    # 67.1M-dof stage (plane-free const hierarchy; fits HBM since the
+    # r3 memory work) — needs the biggest compile budget, so gated harder
+    if budget_left() > 220:
+        t8191, t8191_err = _stage(lambda: tpu_solve_at(8191, n_runs=2),
+                                  "solve_8191")
+    else:
+        t8191, t8191_err = None, f"skipped (budget {budget_left():.0f}s)"
     cpu_secs, _ = _stage(cpu_baseline, "cpu_baseline")
     vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
     extras = {}
@@ -337,6 +344,8 @@ def main():
                               else t2047_err)
     extras["solve_4095_s"] = (round(t4095, 5) if t4095 is not None
                               else t4095_err)
+    extras["solve_8191_s"] = (round(t8191, 5) if t8191 is not None
+                              else t8191_err)
     extras["sweep_sol"] = sol if sol is not None else sol_err
     # full per-variant map (floats = maxdiff, strings = failure)
     extras["pallas_hw_parity"] = gate if gate else gate_err

@@ -123,3 +123,37 @@ def test_ell_hierarchy_checkpoint_roundtrip(tmp_path):
                compute_error_every_n_iters=1)
     assert r1.iterations == r2.iterations
     np.testing.assert_array_equal(np.asarray(r1.u), np.asarray(r2.u))
+
+
+def test_checkpoint_plane_free_hierarchy_roundtrip():
+    """Device-built (plane-free const) hierarchies must checkpoint: weights
+    serialize instead of plane arrays, and the reloaded hierarchy solves
+    identically."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+    import numpy as np
+    from amg_tpu.models import poisson
+    from amg_tpu.structured import (build_stencil_hierarchy_device,
+                                    solve_stencil)
+    from amg_tpu.utils.checkpoint import (load_stencil_hierarchy,
+                                          save_stencil_hierarchy)
+
+    side = 31
+    hier = build_stencil_hierarchy_device(side, dtype=jnp.float64)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "h.npz")
+        save_stencil_hierarchy(p, hier)
+        assert os.path.getsize(p) < 200_000  # weights, not planes
+        h2 = load_stencil_hierarchy(p)
+    assert h2.sides == hier.sides
+    assert all(a.w33 == b.w33 for a, b in zip(h2.levels, hier.levels))
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    r1 = solve_stencil(hier, b2, tolerance=1e-9,
+                       compute_error_every_n_iters=1)
+    r2 = solve_stencil(h2, b2, tolerance=1e-9,
+                       compute_error_every_n_iters=1)
+    assert r2.converged and r1.iterations == r2.iterations
+    np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r1.u),
+                               rtol=1e-12, atol=1e-14)

@@ -196,9 +196,20 @@ def test_device_hierarchy_matches_host():
     host = build_stencil_hierarchy(side, dtype=jnp.float64)
     dev = build_stencil_hierarchy_device(side, dtype=jnp.float64)
     assert dev.sides == host.sides
+    # device levels are plane-free (Stencil2D.const): compare the static
+    # weights against the host build's detected ones, and one densified
+    # level exactly
+    from amg_tpu.sparse.stencil import const_planes
+
     for a, b in zip(dev.levels, host.levels):
-        np.testing.assert_allclose(np.asarray(a.c), np.asarray(b.c),
-                                   rtol=1e-12, atol=1e-12)
+        assert a.w33 is not None and b.w33 is not None
+        np.testing.assert_allclose(np.asarray(a.w33), np.asarray(b.w33),
+                                   rtol=1e-12, atol=1e-14)
+        assert a.c.shape == (3, 3, 0, 0)  # no materialized planes
+    np.testing.assert_allclose(
+        np.asarray(const_planes(dev.levels[1].w33, dev.sides[1],
+                                jnp.float64)),
+        np.asarray(host.levels[1].c), rtol=1e-12, atol=1e-12)
     for a, b in zip(dev.P1s, host.P1s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
