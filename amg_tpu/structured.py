@@ -730,8 +730,19 @@ class StructuredSolver:
                     u4, _, it = state
                     r = residual(u4)
                     err = df_rss(r)
-                    e4 = cycles32_p(h, jnp.zeros_like(r.hi), r.hi)
-                    return df_add_f32(u4, e4), err, it + 1
+
+                    # the loop-carried err lags one step, so the loop
+                    # would run one full refinement past convergence;
+                    # skip the cycles (not the rss) once converged — the
+                    # overshoot iteration then costs one residual
+                    # instead of a whole refine (~13 ms at 4095^2)
+                    def refine(u_in):
+                        e4 = cycles32_p(h, jnp.zeros_like(r.hi), r.hi)
+                        return df_add_f32(u_in, e4)
+
+                    u_next = jax.lax.cond(err > tol, refine,
+                                          lambda u_in: u_in, u4)
+                    return u_next, err, it + 1
 
                 if fmg:
                     # full nested-iteration start, fine level in PACKED
