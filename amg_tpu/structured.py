@@ -740,9 +740,12 @@ class StructuredSolver:
                         e4 = cycles32_p(h, jnp.zeros_like(r.hi), r.hi)
                         return df_add_f32(u_in, e4)
 
-                    u_next = jax.lax.cond(err > tol, refine,
+                    did = err > tol
+                    u_next = jax.lax.cond(did, refine,
                                           lambda u_in: u_in, u4)
-                    return u_next, err, it + 1
+                    # count only refinements that actually cycled (the
+                    # skipped overshoot step does no V-cycle work)
+                    return u_next, err, it + did.astype(jnp.int32)
 
                 if fmg:
                     # full nested-iteration start, fine level in PACKED

@@ -3,8 +3,9 @@
 Metric (BASELINE.json): 2-D Poisson V-cycle solve to 1e-7 residual (rss,
 the reference's convergence measure, common.hpp:17-27).
 
-  * TPU path: structured multigrid (f32 V-cycles + f64 iterative
-    refinement) on a 1023x1023 interior grid — 1,046,529 dofs.
+  * TPU path: structured multigrid (color-packed f32 V-cycles inside a
+    double-float32 defect-correction loop, all device-resident) on a
+    1023x1023 interior grid — 1,046,529 dofs.
   * Baseline: the same problem solved by the reference-class CPU AMG
     (native C++ replica of the reference's V-cycle + sequential symmetric
     Gauss-Seidel solver structure, single thread — see

@@ -26,26 +26,28 @@ INNER = 50  # amortize per-dispatch overhead (~1.4 ms through the tunnel)
 
 
 def loopit(step):
-    """step: (u, *ops) -> u. Returns jitted fn running INNER iterations.
-    Operands are jit ARGUMENTS — closure capture would embed them as HLO
-    constants (huge compile times; see amg_tpu/structured.py)."""
+    """step: (u, *ops) -> u. Returns jitted fn running INNER iterations
+    and reducing to a SCALAR: through the remote-TPU tunnel only a host
+    data fetch reliably synchronizes (block_until_ready can return before
+    execution completes — see docs/PERF.md r3 methodology). Operands are
+    jit ARGUMENTS — closure capture would embed them as HLO constants
+    (huge compile times; see amg_tpu/structured.py)."""
 
     @jax.jit
     def run(u, *ops):
-        return jax.lax.fori_loop(0, INNER,
-                                 lambda _, uu: step(uu, *ops), u)
+        out = jax.lax.fori_loop(0, INNER,
+                                lambda _, uu: step(uu, *ops), u)
+        return jnp.sum(out)
 
     return run
 
 
 def timeit(fn, *args, iters=5, warmup=2):
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(fn(*args))  # scalar fetch = the only true sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(fn(*args))
     return (time.perf_counter() - t0) / iters / INNER
 
 
@@ -74,6 +76,16 @@ def main():
 
     t = timeit(loopit(lambda u, S_, b_: jacobi_sweep(S_, u, b_)), u2, S, b2)
     print(f"jacobi        {t*1e3:8.3f} ms   {nnz/t/1e9:8.2f} Gnnz/s")
+
+    # production color-packed sweep (sparse/packed.py)
+    from amg_tpu.sparse.packed import gs4_sweep_packed, pack
+
+    m = (side - 1) // 2
+    w33 = S.w33
+    t = timeit(loopit(lambda u, b_: gs4_sweep_packed(u, b_, w33, m,
+                                                     1.0, True)),
+               pack(u2, m), pack(b2, m))
+    print(f"gs4 packed    {t*1e3:8.3f} ms   {2*nnz/t/1e9:8.2f} Gnnz/s (sym)")
 
     # fused Pallas symmetric sweep (single- and double-buffered).
     # COMPILED-MODE PARITY GATE: interpret-mode tests cannot catch
