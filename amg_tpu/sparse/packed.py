@@ -164,6 +164,62 @@ def restrict_packed(r4: jnp.ndarray, m: int) -> jnp.ndarray:
     return c
 
 
+def pack_rect(u2: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(R, n) slab with R even, n = 2m+1 -> (4, R/2, M) color-packed.
+
+    The distributed form: row slabs keep their own (even) row count while
+    columns span the full (odd) grid side. Same two-single-axis-shuffle
+    construction as ``pack``."""
+    R, n = u2.shape
+    if R % 2 or n != 2 * m + 1:
+        raise ValueError(f"pack_rect expects even rows and side {2*m+1}, "
+                         f"got {u2.shape}")
+    M = m + 1
+    u2p = jnp.pad(u2, ((0, 0), (0, 1)))               # (R, 2M)
+    v = u2p.reshape(R, M, 2).transpose(2, 0, 1)       # cols: (pi, R, M)
+    v = lax.optimization_barrier(v)
+    w = v.reshape(2, R // 2, 2, M).transpose(0, 2, 1, 3)
+    return w.transpose(1, 0, 2, 3).reshape(4, R // 2, M)
+
+
+def unpack_rect(u4: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(4, R/2, M) color-packed slab -> (R, n) (inverse of pack_rect)."""
+    _, R2, M = u4.shape
+    w = u4.reshape(2, 2, R2, M).transpose(1, 0, 2, 3)  # (pi, pj, R2, M)
+    v = w.transpose(0, 2, 1, 3).reshape(2, 2 * R2, M)
+    v = lax.optimization_barrier(v)
+    u2p = v.transpose(1, 2, 0).reshape(2 * R2, 2 * M)
+    return u2p[:, :2 * m + 1]
+
+
+def packed_steps_window(w33, u4, b4, row0_g, side: int, sweeps: int,
+                        omega: float, symmetric: bool):
+    """Color-packed GS steps on an arbitrary row window (the packed analog
+    of structured_dist._masked_steps_const): quarter cell (a=2pj+pi, J, I)
+    is global point (row0_g + 2J + pj, 2I + pi); points outside
+    [0, side)^2 are masked off (zero-padding boundary semantics), window
+    edge rows are left invalid for the caller's ghost-zone margin to
+    discard. ``row0_g`` must be even so local parity == global parity."""
+    R2, M = u4.shape[1], u4.shape[2]
+    inv_diag = 1.0 / w33[1][1]
+    iJ = lax.broadcasted_iota(jnp.int32, (R2, M), 0)
+    iI = lax.broadcasted_iota(jnp.int32, (R2, M), 1)
+    order = list(COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    for _ in range(sweeps):
+        for pj, pi in order:
+            a = 2 * pj + pi
+            row_g = row0_g + 2 * iJ + pj
+            col_g = 2 * iI + pi
+            valid = (row_g >= 0) & (row_g < side) & (col_g < side)
+            acc = _acc(u4, w33, pj, pi)
+            delta = (b4[a] - acc) * inv_diag - u4[a]
+            u4 = u4.at[a].set(u4[a]
+                              + jnp.where(valid, omega * delta, 0.0))
+    return u4
+
+
 def df_residual_const_packed(w33, b4_df, u4_df, m: int):
     """r = b - A u in double-float32 on color-packed fields (constant
     stencil): the packed analog of ops/doublefloat.df_residual_const.

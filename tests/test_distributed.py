@@ -224,3 +224,24 @@ def test_dist_rdma_solve_converges():
     s = DistStructuredSolver(side, n_devices=8, halo="rdma")
     res = s.solve_ir(b2, tolerance=1e-9)
     assert res.converged and res.error <= 1e-9
+
+
+def test_dist_packed_halo_matches_ghost_sweep():
+    """The color-packed distributed sweep (the distributed form of the
+    production single-chip smoother) must reproduce the full-width
+    ghost-sweep V-cycle to fp-reassociation tolerance, and its df32 solve
+    must converge."""
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    us = {}
+    for halo in ("sweep", "packed"):
+        s = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64,
+                                 halo=halo)
+        bp = s.pad_field(b2)
+        us[halo] = np.asarray(s.unpad(s.vcycle(jnp.zeros_like(bp), bp)))
+    np.testing.assert_allclose(us["packed"], us["sweep"],
+                               rtol=1e-12, atol=1e-13)
+
+    s32 = DistStructuredSolver(side, n_devices=8, halo="packed")
+    res = s32.solve_ir(b2, tolerance=1e-9)
+    assert res.converged and res.error <= 1e-9

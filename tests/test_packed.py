@@ -104,3 +104,37 @@ def test_packed_solver_converges_to_direct():
     u_direct = np.linalg.solve(A.toarray(), np.asarray(b2).reshape(-1))
     np.testing.assert_allclose(np.asarray(res.u).reshape(-1), u_direct,
                                rtol=0, atol=1e-7)
+
+
+def test_pack_rect_roundtrip_and_window_steps():
+    """Rectangular slab packing + windowed packed steps (the distributed
+    smoother's building blocks) agree with the full-width masked window
+    steps of the structured distributed path."""
+    from amg_tpu.parallel.structured_dist import _masked_steps_const
+    from amg_tpu.sparse.packed import (pack_rect, packed_steps_window,
+                                       unpack_rect)
+
+    side = 21
+    m = (side - 1) // 2
+    R = 30  # even window rows (tall enough to leave a compared band)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((R, side)))
+    b = jnp.asarray(rng.standard_normal((R, side)))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_rect(pack_rect(u, m), m)), np.asarray(u))
+
+    S = Stencil2D.from_scipy(poisson.laplacian_scipy(side), side,
+                             dtype=jnp.float64)
+    row0 = -2  # window starts two ghost rows above the grid (even)
+    want = _masked_steps_const(S.w33, u, b, jnp.int32(row0), side, 1,
+                               0.9, True)
+    got = unpack_rect(packed_steps_window(
+        S.w33, pack_rect(u, m), pack_rect(b, m), jnp.int32(row0), side,
+        1, 0.9, True), m)
+    # compare rows whose updates had fully valid inputs (ghost-zone
+    # induction discards the window-edge rows)
+    W = 8 + 1
+    assert R - W + 1 > W  # non-empty compared band
+    np.testing.assert_allclose(np.asarray(got)[W:R - W + 1],
+                               np.asarray(want)[W:R - W + 1],
+                               rtol=1e-12, atol=1e-13)
