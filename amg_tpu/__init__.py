@@ -23,7 +23,8 @@ from amg_tpu.ops.transfer import (BilinearInterpolator2D, InterpolatorBase,
 from amg_tpu.sparse.ell import ELL
 from amg_tpu.sparse.stencil import Stencil2D
 from amg_tpu.structured import (StencilHierarchy, build_stencil_hierarchy,
-                                solve_ir, solve_stencil, vcycle_stencil)
+                                solve_ir, solve_stencil, vcycle_packed,
+                                vcycle_stencil)
 from amg_tpu.utils.metrics import rss, rss_from_residual
 
 

@@ -47,6 +47,9 @@ class StructuredConfig:
     symmetric: bool = True
     refine_tolerance: float = 1e-9
     cycles_per_refine: int = 2
+    # 'packed' (production) | 'masked' | 'fused' | 'chebyshev' | 'strided'
+    smoother: str = "packed"
+    packed_min_side: int | None = None  # None -> structured.PACKED_MIN_SIDE
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,3 +59,5 @@ class MeshConfig:
     n_devices: int | None = None   # default: all local devices
     axis_name: str = "x"
     min_rows_per_device: int = 2   # agglomeration threshold
+    # 'overlap' (default) | 'sweep' | 'packed' | 'rdma' | 'step'
+    halo: str = "overlap"

@@ -543,6 +543,9 @@ class StructuredSolver:
             omega = config.omega
             symmetric = config.symmetric
             cycles_per_refine = config.cycles_per_refine
+            smoother = getattr(config, "smoother", smoother)
+            packed_min_side = getattr(config, "packed_min_side",
+                                      packed_min_side)
 
         self.side = side
         if device_setup is None:
