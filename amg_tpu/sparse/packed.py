@@ -164,6 +164,58 @@ def restrict_packed(r4: jnp.ndarray, m: int) -> jnp.ndarray:
     return c
 
 
+def pack_planes(c: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(3, 3, n, n) coefficient planes -> (3, 3, 4, M, M) color-packed.
+
+    cp[dj+1, di+1, a] holds the (dj, di) coefficient at the color-a
+    TARGET points — exactly pack() of each plane. Inside a solve loop the
+    planes are loop-invariant, so XLA hoists this out of the while_loop
+    (one pack per solve dispatch, not per cycle)."""
+    n = 2 * m + 1
+    return jnp.stack([jnp.stack([pack(c[dj, di], m) for di in range(3)])
+                      for dj in range(3)])
+
+
+def gs4_sweep_packed_var(cp: jnp.ndarray, u4: jnp.ndarray,
+                         b4: jnp.ndarray, m: int, omega: float = 1.0,
+                         symmetric: bool = True) -> jnp.ndarray:
+    """Variable-coefficient color-packed GS sweep: like gs4_sweep_packed
+    but weights come from packed planes (pack_planes) instead of a static
+    w33 — the packed analog of the plane-based masked sweep. Reads 8
+    coefficient quarters + 3 neighbor quarters per color step; still
+    evaluates the stencil only at the points it updates."""
+    order = list(COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    for pj, pi in order:
+        a = 2 * pj + pi
+        acc = jnp.zeros_like(u4[a])
+        for (wj, wi), src, (sJ, sI) in _neighbors(pj, pi):
+            acc = acc + cp[wj, wi, a] * _shift(u4[src], sJ, sI)
+        diag = cp[1, 1, a]
+        inv_diag = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag,
+                                                        1.0), 0.0)
+        delta = (b4[a] - acc) * inv_diag - u4[a]
+        mask = _valid(pj, pi, m, u4.dtype)
+        u4 = u4.at[a].set(u4[a] + (omega * mask) * delta)
+    return u4
+
+
+def residual_packed_var(cp: jnp.ndarray, u4: jnp.ndarray, b4: jnp.ndarray,
+                        m: int) -> jnp.ndarray:
+    """r = b - A u, color-packed, variable coefficients (pad cells carry
+    zero residual)."""
+    r4 = jnp.zeros_like(u4)
+    for pj, pi in COLORS:
+        a = 2 * pj + pi
+        acc = cp[1, 1, a] * u4[a]
+        for (wj, wi), src, (sJ, sI) in _neighbors(pj, pi):
+            acc = acc + cp[wj, wi, a] * _shift(u4[src], sJ, sI)
+        mask = _valid(pj, pi, m, u4.dtype)
+        r4 = r4.at[a].set(mask * (b4[a] - acc))
+    return r4
+
+
 def pack_rect(u2: jnp.ndarray, m: int) -> jnp.ndarray:
     """(R, n) slab with R even, n = 2m+1 -> (4, R/2, M) color-packed.
 

@@ -325,14 +325,18 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     agreement).
 
     Levels below min_side — where the masked sweep's fusion is already
-    near speed-of-light — and variable-coefficient levels run the masked
-    machinery (cycle_stencil) from there down. When ``_packed_in`` is
+    near speed-of-light — run the masked machinery (cycle_stencil) from
+    there down. Constant-stencil levels use the static w33; variable
+    levels pack their coefficient planes (pack_planes — loop-invariant,
+    so XLA hoists the pack out of solve loops). When ``_packed_in`` is
     True, u2/b2 arrive packed ((4, M, M)) and the result returns packed:
     the device solve loop keeps its whole state packed and pays
     pack/unpack once per SOLVE (an odd-size full-field relayout measures
     ~10-50x one sweep — never put one in the cycle)."""
-    from amg_tpu.sparse.packed import (gs4_sweep_packed, pack,
-                                       prolong_add_packed, residual_packed,
+    from amg_tpu.sparse.packed import (gs4_sweep_packed,
+                                       gs4_sweep_packed_var, pack,
+                                       pack_planes, prolong_add_packed,
+                                       residual_packed, residual_packed_var,
                                        restrict_packed, unpack)
 
     if min_side is None:
@@ -340,30 +344,41 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     l = _level
     L = hier.n_levels
     S = hier.levels[l]
-    if not _packed_in and (S.w33 is None or S.side < min_side
-                           or l == L - 1):
+    if not _packed_in and (S.side < min_side or l == L - 1):
         # masked machinery from here down (including the coarsest-level
         # direct solve)
         return cycle_stencil(hier, u2, b2, 1, pre_sweeps, post_sweeps,
                              omega, symmetric, _level=l)
-    if S.w33 is None:
-        raise ValueError("packed input requires a const-stencil level")
     m = (S.side - 1) // 2
+    if S.w33 is not None:
+        def sweep(u4_, b4_):
+            return gs4_sweep_packed(u4_, b4_, S.w33, m, omega, symmetric)
+
+        def resid(u4_, b4_):
+            return residual_packed(u4_, b4_, S.w33, m)
+    else:
+        cp = pack_planes(S.c, m)
+
+        def sweep(u4_, b4_):
+            return gs4_sweep_packed_var(cp, u4_, b4_, m, omega, symmetric)
+
+        def resid(u4_, b4_):
+            return residual_packed_var(cp, u4_, b4_, m)
     if _packed_in:
         u4, b4 = u2, b2
     else:
         u4 = pack(u2, m)
         b4 = pack(b2, m)
     for _ in range(pre_sweeps):
-        u4 = gs4_sweep_packed(u4, b4, S.w33, m, omega, symmetric)
-    r4 = residual_packed(u4, b4, S.w33, m)
+        u4 = sweep(u4, b4)
+    r4 = resid(u4, b4)
     bc = restrict_packed(r4, m)  # dense (m, m) coarse field
     uc = vcycle_packed(hier, jnp.zeros_like(bc), bc, pre_sweeps,
                        post_sweeps, omega, symmetric, _level=l + 1,
                        min_side=min_side)
     u4 = prolong_add_packed(u4, uc, m)
     for _ in range(post_sweeps):
-        u4 = gs4_sweep_packed(u4, b4, S.w33, m, omega, symmetric)
+        u4 = sweep(u4, b4)
     if _packed_in:
         return u4
     return unpack(u4, m)
