@@ -19,17 +19,25 @@ import jax
 import jax.numpy as jnp
 
 from amg_tpu.multigrid import SolveResult
-from amg_tpu.structured import StencilHierarchy, vcycle_stencil
+from amg_tpu.structured import (StencilHierarchy, vcycle_packed,
+                                vcycle_stencil)
 from amg_tpu.utils.metrics import rss_from_residual
 
 
 def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
-                      n_iters: int = 100, u0=None) -> SolveResult:
+                      n_iters: int = 100, u0=None,
+                      cycle=None) -> SolveResult:
     """Preconditioned CG on the structured hierarchy (M^-1 = one V-cycle).
 
     Works on the negated (SPD) system; returns the solution of the original
     one. rss semantics match the reference metric (common.hpp:17-27).
+    ``cycle`` selects the preconditioning cycle; default is the production
+    color-packed V-cycle (identical operator to vcycle_stencil up to fp
+    reassociation, so M stays SPD).
     """
+    if cycle is None:
+        cycle = vcycle_packed
+
     # hierarchy passed as a jit argument (not closure-captured; see the
     # HLO-constant-bloat note in structured.py)
     def A_neg(h, x):  # SPD operator
@@ -39,7 +47,7 @@ def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
         # z = (-A)^-1 r = -(A^-1 r); one V-cycle from zero approximates
         # A^-1 r, and the V-cycle operator is linear in its rhs, so the
         # negation keeps M SPD.
-        return -vcycle_stencil(h, jnp.zeros_like(r), r)
+        return -cycle(h, jnp.zeros_like(r), r)
 
     @jax.jit
     def step(h, state):
