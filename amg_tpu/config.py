@@ -59,5 +59,7 @@ class MeshConfig:
     n_devices: int | None = None   # default: all local devices
     axis_name: str = "x"
     min_rows_per_device: int = 2   # agglomeration threshold
-    # 'overlap' (default) | 'sweep' | 'packed' | 'rdma' | 'step'
+    # structured path: 'overlap' (default) | 'sweep' | 'packed' | 'rdma'
+    # | 'step'; ELL path accepts 'step' | 'strips' (others fall back to
+    # its default). Consumed via the solvers' config= argument.
     halo: str = "overlap"

@@ -31,12 +31,15 @@ def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
 
     Works on the negated (SPD) system; returns the solution of the original
     one. rss semantics match the reference metric (common.hpp:17-27).
-    ``cycle`` selects the preconditioning cycle; default is the production
-    color-packed V-cycle (identical operator to vcycle_stencil up to fp
-    reassociation, so M stays SPD).
+    ``cycle`` selects the preconditioning cycle; by default hierarchies
+    built with smoother="packed" precondition with the color-packed
+    V-cycle (same GS operator as the masked cycle up to fp reassociation,
+    so M stays SPD) and every other smoother setting keeps vcycle_stencil,
+    which honors hier.smoother (chebyshev/fused/masked).
     """
     if cycle is None:
-        cycle = vcycle_packed
+        cycle = (vcycle_packed if hier.smoother == "packed"
+                 else vcycle_stencil)
 
     # hierarchy passed as a jit argument (not closure-captured; see the
     # HLO-constant-bloat note in structured.py)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -60,8 +61,8 @@ def _halo_kernel(u_ref, out_ref, send_sem, recv_sem, *, G: int,
     rdma_down = pltpu.make_async_remote_copy(
         src_ref=u_ref.at[pl.ds(B - G, G), :],
         dst_ref=out_ref.at[pl.ds(0, G), :],
-        send_sem=send_sem.at[0],
-        recv_sem=recv_sem.at[0],
+        send_sem=send_sem.at[np.int32(0)],
+        recv_sem=recv_sem.at[np.int32(0)],
         device_id=right,
         device_id_type=pltpu.DeviceIdType.LOGICAL,
     )
@@ -69,8 +70,8 @@ def _halo_kernel(u_ref, out_ref, send_sem, recv_sem, *, G: int,
     rdma_up = pltpu.make_async_remote_copy(
         src_ref=u_ref.at[pl.ds(0, G), :],
         dst_ref=out_ref.at[pl.ds(G, G), :],
-        send_sem=send_sem.at[1],
-        recv_sem=recv_sem.at[1],
+        send_sem=send_sem.at[np.int32(1)],
+        recv_sem=recv_sem.at[np.int32(1)],
         device_id=left,
         device_id_type=pltpu.DeviceIdType.LOGICAL,
     )

@@ -233,11 +233,21 @@ class EllDistSolver:
     def __init__(self, A, b, n_levels: int, n_devices: int | None = None,
                  dtype=jnp.float64, interpolator=None, omega: float = 1.0,
                  symmetric: bool = True, min_rows: int = 2,
-                 halo: str = "step"):
+                 halo: str = "step", config=None):
         import scipy.sparse as sp
         from amg_tpu.sparse.ell import ELL
         from amg_tpu.utils.coloring import greedy_coloring
 
+        # config.MeshConfig centralizes the distribution knobs (the ELL
+        # path accepts only its own halo modes; a structured-only mode in
+        # the config falls back to this path's default)
+        if config is not None:
+            if n_devices is None:
+                n_devices = config.n_devices
+            min_rows = getattr(config, "min_rows_per_device", min_rows)
+            cfg_halo = getattr(config, "halo", halo)
+            if cfg_halo in ("strips", "step"):
+                halo = cfg_halo
         if n_devices is None:
             n_devices = len(jax.devices())
         if halo not in ("strips", "step"):

@@ -690,7 +690,12 @@ class DistStructuredSolver:
                  pre_sweeps: int = 1, post_sweeps: int = 1,
                  omega: float = 1.0, symmetric: bool = True, A_fine=None,
                  halo: str = "overlap", force_var: bool = False,
-                 cycles_per_refine: int = 2):
+                 cycles_per_refine: int = 2, config=None):
+        # config.MeshConfig centralizes the distribution knobs
+        if config is not None:
+            if n_devices is None:
+                n_devices = config.n_devices
+            halo = getattr(config, "halo", halo)
         if halo not in ("overlap", "sweep", "step", "rdma", "packed"):
             raise ValueError(f"unknown halo mode {halo!r}")
         cfg, coeffs, sub_hier = build_dist_hierarchy(

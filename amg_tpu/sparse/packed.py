@@ -171,7 +171,6 @@ def pack_planes(c: jnp.ndarray, m: int) -> jnp.ndarray:
     TARGET points — exactly pack() of each plane. Inside a solve loop the
     planes are loop-invariant, so XLA hoists this out of the while_loop
     (one pack per solve dispatch, not per cycle)."""
-    n = 2 * m + 1
     return jnp.stack([jnp.stack([pack(c[dj, di], m) for di in range(3)])
                       for dj in range(3)])
 

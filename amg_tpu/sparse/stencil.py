@@ -39,8 +39,9 @@ class Stencil2D:
     (verified at build; see detect_const_stencil). Operators then use the
     scalar weights as compile-time constants: SpMV and smoother sweeps read
     only u (and b) from HBM — none of the 9 coefficient planes — cutting
-    smoother HBM traffic 4x. The planes stay materialized for densify/
-    checkpoint/IO paths.
+    smoother HBM traffic 4x. Plane-free const operators (Stencil2D.const:
+    ``c`` is an empty placeholder) rebuild planes on demand for
+    densify/IO accessors via ``const_planes``.
     """
 
     c: jnp.ndarray  # (3, 3, n, n)
@@ -57,9 +58,21 @@ class Stencil2D:
 
     @property
     def nnz(self) -> int:
+        if self.w33 is not None and self.c.size == 0:
+            # plane-free const operator: closed form (offset (dj, di)
+            # contributes (n-|dj|)*(n-|di|) in-bounds entries)
+            n = self.side
+            return sum((n - abs(dj)) * (n - abs(di))
+                       for dj in (-1, 0, 1) for di in (-1, 0, 1)
+                       if self.w33[dj + 1][di + 1] != 0.0)
         return int(np.count_nonzero(np.asarray(self.c)))
 
     def diag(self) -> jnp.ndarray:
+        if self.w33 is not None and self.c.size == 0:
+            # const stencil: the diagonal plane is uniform (zero-padding
+            # truncation touches only off-diagonals)
+            return jnp.full((self.side, self.side), self.w33[1][1],
+                            dtype=self.dtype)
         return self.c[1, 1]
 
     # -- core ops (all static-shape shifted slices) -----------------------
@@ -129,7 +142,11 @@ class Stencil2D:
         import scipy.sparse as sp
 
         n = self.side
-        c = np.asarray(self.c)
+        if self.w33 is not None and self.c.size == 0:
+            # plane-free const operator: rebuild planes for densify/IO
+            c = np.asarray(const_planes(self.w33, n, self.dtype))
+        else:
+            c = np.asarray(self.c)
         rows, cols, vals = [], [], []
         for dj in (-1, 0, 1):
             for di in (-1, 0, 1):

@@ -344,9 +344,20 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     l = _level
     L = hier.n_levels
     S = hier.levels[l]
-    if not _packed_in and (S.side < min_side or l == L - 1):
-        # masked machinery from here down (including the coarsest-level
-        # direct solve)
+    if l == L - 1:
+        # coarsest level: dense direct solve (also reachable packed when
+        # the whole hierarchy is one level)
+        from amg_tpu.sparse.packed import pack as _pack
+        from amg_tpu.sparse.packed import unpack as _unpack
+
+        nc = hier.sides[-1]
+        ml = (nc - 1) // 2
+        bd = _unpack(b2, ml) if _packed_in else b2
+        sol = jax.scipy.linalg.lu_solve((hier.coarse_lu, hier.coarse_piv),
+                                        bd.reshape(-1)).reshape(nc, nc)
+        return _pack(sol, ml) if _packed_in else sol
+    if not _packed_in and S.side < min_side:
+        # masked machinery from here down
         return cycle_stencil(hier, u2, b2, 1, pre_sweeps, post_sweeps,
                              omega, symmetric, _level=l)
     m = (S.side - 1) // 2
@@ -715,8 +726,10 @@ class StructuredSolver:
         # solve. This is what makes the packed smoother win end-to-end:
         # an odd-size full-field relayout per step would cost more than
         # the sweeps it saves.
+        # >= 2 levels: the packed FMG start runs the coarse hierarchy
+        # from start_level=1 (a 1-level "hierarchy" is just a dense solve)
         use_packed_loop = (smoother == "packed" and A64_w33 is not None
-                           and side >= pms)
+                           and side >= pms and len(self.hier.sides) >= 2)
         if use_packed_loop:
             m_f = (side - 1) // 2
 

@@ -21,6 +21,12 @@ def save_stencil_hierarchy(path: str, hier) -> None:
             "coarse_lu": np.asarray(hier.coarse_lu),
             "coarse_piv": np.asarray(hier.coarse_piv),
             "smoother": np.asarray(hier.smoother)}
+    if hier.lam_maxes is not None:
+        # Chebyshev spectral bounds (power-iteration estimates on
+        # variable levels) must survive the round trip — without them a
+        # reloaded chebyshev hierarchy would silently degrade to masked
+        # GS on variable-coefficient levels
+        arrs["lam_maxes"] = np.asarray(hier.lam_maxes)
     for i, lev in enumerate(hier.levels):
         # plane-free const levels (Stencil2D.const) serialize their 3x3
         # weights instead of (possibly multi-GB) plane arrays
@@ -64,11 +70,14 @@ def load_stencil_hierarchy(path: str, dtype=None):
         padded = [PaddedStencil.prepare(lev, dtype=dt)
                   if lev.side >= FUSED_MIN_SIDE else None
                   for lev in levels]
+    lam_maxes = (tuple(float(v) for v in z["lam_maxes"])
+                 if "lam_maxes" in z else None)
     return StencilHierarchy(levels=tuple(levels),
                             coarse_lu=jnp.asarray(z["coarse_lu"]),
                             coarse_piv=jnp.asarray(z["coarse_piv"]),
                             P1s=P1s, masks=masks, padded=tuple(padded),
-                            sides=sides, smoother=smoother)
+                            sides=sides, smoother=smoother,
+                            lam_maxes=lam_maxes)
 
 
 def save_hierarchy(path: str, hier) -> None:

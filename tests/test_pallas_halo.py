@@ -44,3 +44,25 @@ def test_rdma_halo_matches_ppermute(G):
         body, mesh=mesh, in_specs=P(AXIS, None),
         out_specs=(P(AXIS, None), P(AXIS, None)), check_vma=False))(u)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_halo_kernel_jaxpr_is_x64_clean():
+    """Same regression class as test_pallas_rbgs: any 64-bit value inside
+    a Mosaic kernel breaks real-TPU lowering under jax_enable_x64
+    (i64 semaphore indices fail MLIR verification), which interpret mode
+    cannot catch. Full-text scan of the traced program."""
+    import re
+
+    assert jax.config.jax_enable_x64
+    D = 8
+    B, n = 16, 32
+    mesh = jax.make_mesh((D,), (AXIS,), devices=jax.devices()[:D])
+    u = jnp.zeros((D * B, n), jnp.float32)
+    jaxpr = jax.make_jaxpr(jax.shard_map(
+        lambda ul: rdma_halo_exchange(ul, 4, AXIS),
+        mesh=mesh, in_specs=P(AXIS, None), out_specs=P(AXIS, None),
+        check_vma=False))(u)
+    bad = [ln.strip()[:120] for ln in str(jaxpr).splitlines()
+           if re.search(r"\b[iuf]64\[", ln)]
+    assert not bad, ("64-bit values traced into the RDMA halo kernel:\n"
+                     + "\n".join(bad[:8]))
