@@ -155,13 +155,35 @@ def df_residual_const(w33, b_df: DF32, u_df: DF32) -> DF32:
     constants — so the residual reads only u and b from HBM: 18 fewer
     field reads per refinement step than the plane-based df_residual.
     Zero padding supplies the boundary truncation exactly as in
-    Stencil2D.matvec2.
+    Stencil2D.matvec2. Pow2 weights (Poisson on 2^k-1 grids) take the
+    exact-product TwoSum-cascade fast path (~3x fewer flops).
     """
     import numpy as np
 
     n = u_df.hi.shape[0]
     pad = lambda x: jnp.pad(x, 1)
     uh, ul = pad(u_df.hi), pad(u_df.lo)
+
+    def sl_of(dj, di):
+        return lambda z: jax.lax.slice(z, (1 + dj, 1 + di),
+                                       (1 + dj + n, 1 + di + n))
+
+    if is_pow2_weights(w33):
+        s = b_df.hi
+        c = b_df.lo
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                w = w33[dj + 1][di + 1]
+                if w == 0.0:
+                    continue
+                sl = sl_of(dj, di)
+                wf = jnp.float32(-w)
+                t = wf * sl(uh)        # exact: w is +/-2^j
+                s, e = two_sum(s, t)
+                c = c + e + wf * sl(ul)
+        hi, lo = two_sum(s, c)
+        return DF32(hi=hi, lo=lo)
+
     acc = DF32.from_f32(jnp.zeros_like(u_df.hi))
     for dj in (-1, 0, 1):
         for di in (-1, 0, 1):
@@ -170,8 +192,7 @@ def df_residual_const(w33, b_df: DF32, u_df: DF32) -> DF32:
                 continue
             w_hi = float(np.float32(w))
             w_lo = float(np.float32(w - w_hi))
-            sl = lambda z: jax.lax.slice(z, (1 + dj, 1 + di),
-                                         (1 + dj + n, 1 + di + n))
+            sl = sl_of(dj, di)
             term = df_mul(DF32(hi=jnp.float32(w_hi), lo=jnp.float32(w_lo)),
                           DF32(hi=sl(uh), lo=sl(ul)))
             acc = df_add(acc, term)
@@ -190,3 +211,39 @@ def df_rss(r_df: DF32, dtype=None):
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     sq = df_mul(r_df, r_df)
     return jnp.sum(sq.hi.astype(dtype)) + jnp.sum(sq.lo.astype(dtype))
+
+
+def df_rss_fast(r_df: DF32, dtype=None):
+    """rss of a df32 residual with the emulated-f64 reduction minimized.
+
+    df_rss tree-reduces every element in software f64 — measured 1.3 ms
+    at 4095^2 on v5e, ~3x the whole-field HBM pass it should cost. Here
+    the squares stay plain f32 (hi^2 + 2 hi*lo — the lo^2 term is below
+    2^-48 relative and drops), the inner axis reduces in f32 (pairwise
+    tree, relative error ~log2(n)*eps_f32 ~ 1e-6 — far inside the ~1e-2
+    accuracy a tolerance comparison needs), and only the tiny per-row
+    vector converts to f64. Use inside solve loops; keep df_rss for
+    reported/parity numbers where every digit matters.
+    """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    sq = r_df.hi * r_df.hi + 2.0 * (r_df.hi * r_df.lo)
+    rows = jnp.sum(sq, axis=-1)
+    return jnp.sum(rows.astype(dtype))
+
+
+def is_pow2_weights(w33) -> bool:
+    """True iff every nonzero stencil weight is +/- a power of two (then
+    w * x is EXACT in f32 and df products need no TwoProd). Holds for the
+    2-D Poisson fine operator on 2^k - 1 grids: h = 2^(1-k), so the
+    weights +/-1/h^2 and -4/h^2 are exact powers of two."""
+    import math
+
+    for row in w33:
+        for w in row:
+            if w == 0.0:
+                continue
+            m_, _ = math.frexp(abs(float(w)))
+            if m_ != 0.5:
+                return False
+    return True

@@ -427,7 +427,8 @@ def cycle_stencil(hier: StencilHierarchy, u2, b2, gamma: int = 1,
 def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
                 pre_sweeps: int = 1, post_sweeps: int = 1,
                 omega: float = 1.0, symmetric: bool = True,
-                gamma: int = 1, start_level: int = 0):
+                gamma: int = 1, start_level: int = 0,
+                min_side: int | None = None):
     """Full multigrid (nested iteration): restrict the RHS down the whole
     hierarchy, solve the coarsest level directly, then interpolate the
     *solution* up level by level, running ``cycles_per_level`` cycles at
@@ -438,7 +439,16 @@ def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
     start. The reference only solves from a zero guess
     (multigrid.hpp:311-337); this is the TPU build's fast-start extension,
     used by ``StructuredSolver`` to cut defect-correction steps.
+
+    On packed hierarchies (hier.smoother == 'packed', gamma == 1) the
+    per-level cycles run the color-packed V-cycle on every level large
+    enough to qualify — the masked machinery at 2047^2 made the FMG start
+    cost ~10.6 ms of a 83 ms solve at 4095^2 (r4 profile); packed cycles
+    cut it to near the plain V-cycle cost.
     """
+    if min_side is None:
+        min_side = PACKED_MIN_SIDE
+    use_packed = (hier.smoother == "packed" and gamma == 1)
     L = hier.n_levels
     l0 = start_level  # b2 is the field at this level (packed-path FMG
     # starts at level 1 so the expensive fine level is never smoothed
@@ -452,8 +462,14 @@ def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
     for l in range(L - 2, l0 - 1, -1):
         u = prolong_mm(u, hier.P1s[l])
         for _ in range(cycles_per_level):
-            u = cycle_stencil(hier, u, bs[l], gamma, pre_sweeps,
-                              post_sweeps, omega, symmetric, _level=l)
+            if (use_packed and hier.sides[l] >= min_side
+                    and hier.levels[l].w33 is not None):
+                u = vcycle_packed(hier, u, bs[l], pre_sweeps, post_sweeps,
+                                  omega, symmetric, _level=l,
+                                  min_side=min_side)
+            else:
+                u = cycle_stencil(hier, u, bs[l], gamma, pre_sweeps,
+                                  post_sweeps, omega, symmetric, _level=l)
     return u
 
 
@@ -686,7 +702,8 @@ class StructuredSolver:
             reads no coefficient planes at all."""
             from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
                                                  df_residual,
-                                                 df_residual_const, df_rss)
+                                                 df_residual_const, df_rss,
+                                                 df_rss_fast)
 
             b_df = DF32.from_f64(b64)
 
@@ -702,7 +719,7 @@ class StructuredSolver:
             def body(state):
                 u, _, it = state
                 r = residual(u)
-                err = df_rss(r)
+                err = df_rss_fast(r)
                 e = cycles32(h, jnp.zeros_like(r.hi), r.hi)
                 return df_add_f32(u, e), err, it + 1
 
@@ -743,7 +760,7 @@ class StructuredSolver:
             @partial(jax.jit, static_argnums=(4,))
             def solve_loop_df32_packed(h, A_c_df, b64, tol, n_refine):
                 from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
-                                                     df_rss)
+                                                     df_rss_fast)
                 from amg_tpu.sparse.packed import (
                     df_residual_const_packed, pack, unpack)
 
@@ -760,7 +777,7 @@ class StructuredSolver:
                 def body(state):
                     u4, _, it = state
                     r = residual(u4)
-                    err = df_rss(r)
+                    err = df_rss_fast(r)
 
                     # the loop-carried err lags one step, so the loop
                     # would run one full refinement past convergence;
@@ -791,7 +808,8 @@ class StructuredSolver:
 
                     bc = restrict_packed(b4.hi, m_f)
                     uc = fmg_stencil(h, bc, 1, pre_sweeps, post_sweeps,
-                                     omega, symmetric, start_level=1)
+                                     omega, symmetric, start_level=1,
+                                     min_side=pms)
                     u0f = prolong_add_packed(jnp.zeros_like(b4.hi), uc,
                                              m_f)
                     u0f = vcycle_packed(h, u0f, b4.hi, pre_sweeps,
@@ -802,8 +820,14 @@ class StructuredSolver:
                     u0 = DF32.from_f32(jnp.zeros_like(b4.hi))
                 init = (u0, jnp.asarray(jnp.inf, dtype=jnp.float64),
                         jnp.asarray(0, dtype=jnp.int32))
-                u4, _, it = jax.lax.while_loop(cond, body, init)
-                final_err = df_rss(residual(u4))
+                u4, err_out, it = jax.lax.while_loop(cond, body, init)
+                # the lagged-error loop always EXITS through a skip
+                # iteration when it converges (a refining iteration leaves
+                # err > tol in the state), so the state err is exactly
+                # rss(u_final) — recompute only on budget exhaustion
+                final_err = jax.lax.cond(
+                    err_out <= tol, lambda: err_out,
+                    lambda: df_rss_fast(residual(u4)))
                 u = (unpack(u4.hi, m_f).astype(jnp.float64)
                      + unpack(u4.lo, m_f).astype(jnp.float64))
                 return u, jnp.stack([final_err, it.astype(jnp.float64)])
