@@ -1,0 +1,468 @@
+"""Pallas TPU kernel: fused symmetric four-color GS sweep on the
+COLOR-PACKED layout — the minimum-traffic production smoother.
+
+The XLA color-packed sweep (sparse/packed.py gs4_sweep_packed) is the
+fastest unfused smoother but still round-trips the quarter fields through
+HBM once per color step — ~55% of the unbeatable 3-pass bound (read u,
+read b, write u) at 4095^2 (BENCH_r03). This kernel runs the *entire*
+symmetric sweep (8 color steps) with a row-tile of all four quarters
+resident in VMEM:
+
+  * operands are the plain packed ``(4, M, M)`` fields (M = m+1) used by
+    the whole packed pipeline — no padded frame, no relayout anywhere;
+  * the kernel DMAs each TG-row tile plus a G = 8 ghost-row margin per
+    side into VMEM scratch; boundary tiles zero-fill the out-of-range
+    margin (zero padding IS the Dirichlet boundary, exactly as in
+    sparse/packed.py);
+  * each of the 8 color steps is statically unrolled (each color has a
+    different static shift pattern); one in-VMEM step invalidates one
+    ghost row per side, so with G = 8 the interior TG rows are exactly
+    the sequential color-ordered iterate;
+  * neighbor reads are ``pltpu.roll`` lane/sublane rotations. Wrapped
+    values land only (a) in the ghost margin rows, which are discarded,
+    or (b) at packed pad columns/rows, which the update masks never
+    touch — verified against the XLA packed sweep on hardware
+    (scripts/microbench.py, bench.py pallas gate).
+
+HBM traffic per symmetric sweep: (read u + read b) * (TG+2G)/TG + write u
+— ~3.5 field passes vs 24 color-step passes unfused. Replaces the
+reference's sequential sweep hot loop (smoother.hpp:86-216) at
+speed-of-light.
+
+Mosaic x64 rules (docs/PERF.md r3): every shift/index is np.int32; no
+Python-int fori bounds; any 64-bit value in the closed jaxpr breaks real-
+TPU lowering (tests/test_pallas_rbgs.py guards the full trace).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from amg_tpu.ops.pallas.rbgs import _roll2
+from amg_tpu.sparse.packed import COLORS, _neighbors
+
+G = 8                      # ghost rows per side (= 8 color steps)
+LANE = 128
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def eligible(m: int) -> bool:
+    """The kernel requires lane-aligned quarters (M % 128 == 0) so rolls
+    and DMAs stay on tile boundaries; true for every level of a 2^k - 1
+    hierarchy (M = 2^(k-1))."""
+    M = m + 1
+    return M % LANE == 0 and M >= 2 * G and pick_tile_rows(M) is not None
+
+
+def auto_pipeline(M: int) -> str:
+    """Measured-best pipeline per quarter size (v5e, r4 scan): the serial
+    variant wins while the whole working set is small (fewer grid steps,
+    VMEM headroom buys bigger tiles); the 2-slot rotation wins at
+    M >= 2048 where tiles are VMEM-squeezed and DMA must hide behind
+    compute. db3 measured no better than db anywhere (the constraint is
+    tile size, not pipeline depth)."""
+    return "sb" if M <= 1024 else "db"
+
+
+_PIPE_BLOCKS = {"sb": 10, "db": 12, "db3": 14}
+# calibrated against observed Mosaic compile successes/failures (r4):
+# scratch blocks (2 fields x slots) + ~8 live (W, M) temporaries in the
+# unrolled color steps; totals up to ~11.5 MB compiled, above failed
+VMEM_EFF = int(11.5 * 1024 * 1024)
+
+
+def pick_tile_rows(M: int, itemsize: int = 4,
+                   double_buffer: bool = False,
+                   pipeline: str | None = None) -> int | None:
+    """Largest TG dividing M whose scratch + live temporaries fit VMEM.
+
+    When the whole (4, M, M) field is small enough that XLA may promote
+    the kernel's operand/result buffers into VMEM (observed: S(1)
+    placement inside larger jitted programs — the memory_space=HBM pin on
+    the specs is not honored for outputs), reserve room for all three
+    copies; otherwise only our scratch + temporaries count."""
+    if pipeline is None:
+        pipeline = "db" if double_buffer else "sb"
+    blocks = _PIPE_BLOCKS[pipeline]
+    field = 4 * M * M * itemsize
+    reserve = 3 * field if field <= 6 * 1024 * 1024 else 0
+    budget = min(VMEM_EFF, int(15.5 * 1024 * 1024) - reserve)
+    for tg in (512, 256, 128, 64, 32, 16, 8):
+        if M % tg:
+            continue
+        W = tg + 2 * G
+        if blocks * W * M * itemsize <= budget:
+            return tg
+    return None
+
+
+def _color_steps_packed(Bs, Us, w33, m: int, row0, omega: float,
+                        symmetric: bool):
+    """The unrolled color steps on VMEM scratch quarters.
+
+    Us/Bs: (4, W, M) refs. row0: global packed row of local row G (traced
+    int32). Update masks combine the quarter validity bounds (J < Mj,
+    I < Mi — the packed pad rows/cols stay exactly zero, sparse/packed.py
+    semantics) with the tile's global row range.
+    """
+    _, W, M = Us.shape
+    i32 = jnp.int32
+    inv_diag = 1.0 / w33[1][1]
+
+    # global packed row of each local row (row0 already includes -G)
+    J_g = (jax.lax.broadcasted_iota(i32, (W, M), 0)
+           + jnp.asarray(row0, dtype=i32))
+    I_l = jax.lax.broadcasted_iota(i32, (W, M), 1)
+
+    order = list(COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    zero = jnp.zeros((), dtype=Us.dtype)
+    # quarters are (re)read from the VMEM scratch refs per color step and
+    # written straight back: keeps the live value set to ~3 single-quarter
+    # temporaries (vs 8 when all quarters are held as values), which is
+    # what lets larger row tiles fit VMEM
+    for pj, pi in order:
+        a = 2 * pj + pi
+        Mj = M if pj == 0 else m
+        Mi = M if pi == 0 else m
+        acc = None
+        for (wj, wi), src, (sJ, sI) in _neighbors(pj, pi):
+            w = w33[wj][wi]
+            if w == 0.0:
+                continue
+            t = w * _roll2(Us[np.int32(src)], sJ, sI)
+            acc = t if acc is None else acc + t
+        Ua = Us[np.int32(a)]
+        delta = (Bs[np.int32(a)] - acc) * inv_diag - Ua
+        mask = (J_g >= i32(0)) & (J_g < i32(Mj)) & (I_l < i32(Mi))
+        Us[np.int32(a)] = Ua + jnp.where(mask, omega * delta, zero)
+
+
+def _dma_in(hbm, scratch, sem, t, n_tiles: int, tg: int, Mp: int):
+    """Tile t's ghosted input DMA with boundary zero-fill.
+
+    Loads global packed rows [t*tg - G, t*tg + tg + G) of a (4, Mp, M)
+    field into the (4, W, M) scratch; rows outside [0, Mp) become zeros
+    (the Dirichlet/pad boundary). Distinct static shapes per boundary
+    case — Pallas DMAs need static sizes."""
+    W = tg + 2 * G
+    first = t == 0
+    last = t == n_tiles - 1
+
+    if n_tiles == 1:
+        scratch[:, :G, :] = jnp.zeros_like(scratch[:, :G, :])
+        scratch[:, W - G:, :] = jnp.zeros_like(scratch[:, W - G:, :])
+        dma = pltpu.make_async_copy(hbm.at[:, pl.ds(np.int32(0), tg), :],
+                                    scratch.at[:, pl.ds(np.int32(G), tg),
+                                               :], sem)
+        dma.start()
+        return dma
+
+    row0 = t * tg
+
+    @pl.when(first)
+    def _():
+        scratch[:, :G, :] = jnp.zeros_like(scratch[:, :G, :])
+
+    @pl.when(last)
+    def _():
+        scratch[:, W - G:, :] = jnp.zeros_like(scratch[:, W - G:, :])
+
+    # Three static-shape cases; exactly one starts per tile, all signal
+    # the same semaphore, and the matching wait below re-derives the case
+    # from t.
+    @pl.when(first)
+    def _():
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(np.int32(0), tg + G), :],
+            scratch.at[:, pl.ds(np.int32(G), tg + G), :], sem).start()
+
+    @pl.when(last)
+    def _():
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), tg + G), :],
+            scratch.at[:, pl.ds(np.int32(0), tg + G), :], sem).start()
+
+    @pl.when(jnp.logical_not(first | last))
+    def _():
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), W), :],
+            scratch.at[:, pl.ds(np.int32(0), W), :], sem).start()
+
+    return None
+
+
+def _dma_in_wait(hbm, scratch, sem, t, n_tiles: int, tg: int):
+    """Wait for whichever _dma_in case tile t started (same descriptor)."""
+    W = tg + 2 * G
+    first = t == 0
+    last = t == n_tiles - 1
+    row0 = t * tg
+
+    @pl.when(first)
+    def _():
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(np.int32(0), tg + G), :],
+            scratch.at[:, pl.ds(np.int32(G), tg + G), :], sem).wait()
+
+    @pl.when(last)
+    def _():
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), tg + G), :],
+            scratch.at[:, pl.ds(np.int32(0), tg + G), :], sem).wait()
+
+    @pl.when(jnp.logical_not(first | last))
+    def _():
+        pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), W), :],
+            scratch.at[:, pl.ds(np.int32(0), W), :], sem).wait()
+
+
+def _packed_sweep_kernel(b_hbm, u_hbm, out_hbm, Bs, Us, sems, *, tg: int,
+                         m: int, w33, omega: float, symmetric: bool,
+                         n_tiles: int):
+    """Single-buffered: DMA u+b tile in, 8 color steps in VMEM, DMA the
+    interior TG rows out."""
+    t = pl.program_id(0)
+    Mp = u_hbm.shape[1]
+    if n_tiles == 1:
+        d_b = _dma_in(b_hbm, Bs, sems.at[np.int32(0)], t, n_tiles, tg, Mp)
+        d_u = _dma_in(u_hbm, Us, sems.at[np.int32(1)], t, n_tiles, tg, Mp)
+        d_b.wait()
+        d_u.wait()
+    else:
+        _dma_in(b_hbm, Bs, sems.at[np.int32(0)], t, n_tiles, tg, Mp)
+        _dma_in(u_hbm, Us, sems.at[np.int32(1)], t, n_tiles, tg, Mp)
+        _dma_in_wait(b_hbm, Bs, sems.at[np.int32(0)], t, n_tiles, tg)
+        _dma_in_wait(u_hbm, Us, sems.at[np.int32(1)], t, n_tiles, tg)
+
+    row0 = t * tg - np.int32(G)
+    _color_steps_packed(Bs, Us, w33, m, row0, omega, symmetric)
+
+    cp_out = pltpu.make_async_copy(
+        Us.at[:, pl.ds(np.int32(G), tg), :],
+        out_hbm.at[:, pl.ds(pl.multiple_of(t * tg, G), tg), :],
+        sems.at[np.int32(2)])
+    cp_out.start()
+    cp_out.wait()
+
+
+def _packed_sweep_kernel_db(b_hbm, u_hbm, out_hbm, Bs, Us, in_sems,
+                            out_sems, *, tg: int, m: int, w33,
+                            omega: float, symmetric: bool, n_tiles: int):
+    """Double-buffered: tile t+1's u+b stream in while tile t's color
+    steps run; tile t's interior streams out DIRECTLY from its compute
+    slot (no staging copy — the slot is not overwritten until tile t+2's
+    input DMA, which waits on the out DMA first). Scratch persists across
+    the sequential TPU grid (rbgs.py pattern)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    Mp = u_hbm.shape[1]
+    two = jnp.asarray(2, dtype=jnp.asarray(t).dtype)
+    slot = jax.lax.rem(t, two)
+    nxt = jax.lax.rem(t + 1, two)
+
+    def start_in(tile, s):
+        _dma_in(b_hbm, Bs.at[s], in_sems.at[s, np.int32(0)], tile,
+                n_tiles, tg, Mp)
+        _dma_in(u_hbm, Us.at[s], in_sems.at[s, np.int32(1)], tile,
+                n_tiles, tg, Mp)
+
+    def wait_in(tile, s):
+        _dma_in_wait(b_hbm, Bs.at[s], in_sems.at[s, np.int32(0)], tile,
+                     n_tiles, tg)
+        _dma_in_wait(u_hbm, Us.at[s], in_sems.at[s, np.int32(1)], tile,
+                     n_tiles, tg)
+
+    def out_dma(tile, s):
+        return pltpu.make_async_copy(
+            Us.at[s, :, pl.ds(np.int32(G), tg), :],
+            out_hbm.at[:, pl.ds(pl.multiple_of(tile * tg, G), tg), :],
+            out_sems.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        start_in(t, slot)
+
+    # tile t-1's out DMA reads Us[nxt]; it must drain before tile t+1's
+    # input DMA overwrites that slot (by now it has typically already
+    # overlapped tile t-1's --> t's transition)
+    @pl.when((t >= 1) & (t + 1 < T))
+    def _():
+        out_dma(t - 1, nxt).wait()
+
+    @pl.when(t + 1 < T)
+    def _():
+        start_in(t + 1, nxt)
+
+    wait_in(t, slot)
+
+    row0 = t * tg - np.int32(G)
+    _color_steps_packed(Bs.at[slot], Us.at[slot], w33, m, row0, omega,
+                        symmetric)
+
+    out_dma(t, slot).start()
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(t, slot).wait()
+
+    if T >= 2:
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t - 1, nxt).wait()
+
+
+def _packed_sweep_kernel_db3(b_hbm, u_hbm, out_hbm, Bs, Us, in_sems,
+                             out_sems, *, tg: int, m: int, w33,
+                             omega: float, symmetric: bool, n_tiles: int):
+    """Triple-buffered rotation: slot t%3 computes while slot (t+1)%3
+    streams in and slot (t-1)%3 streams out — input DMA, compute, and
+    output DMA fully concurrent (the 2-slot variant must drain the out
+    DMA before each prefetch, serializing ~1/3 of the traffic). Slot k is
+    reused at tile k+3; its out DMA is drained before tile k+3's input
+    starts."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    Mp = u_hbm.shape[1]
+    three = jnp.asarray(3, dtype=jnp.asarray(t).dtype)
+    slot = jax.lax.rem(t, three)
+    nxt = jax.lax.rem(t + 1, three)
+
+    def start_in(tile, s):
+        _dma_in(b_hbm, Bs.at[s], in_sems.at[s, np.int32(0)], tile,
+                n_tiles, tg, Mp)
+        _dma_in(u_hbm, Us.at[s], in_sems.at[s, np.int32(1)], tile,
+                n_tiles, tg, Mp)
+
+    def wait_in(tile, s):
+        _dma_in_wait(b_hbm, Bs.at[s], in_sems.at[s, np.int32(0)], tile,
+                     n_tiles, tg)
+        _dma_in_wait(u_hbm, Us.at[s], in_sems.at[s, np.int32(1)], tile,
+                     n_tiles, tg)
+
+    def out_dma(tile, s):
+        return pltpu.make_async_copy(
+            Us.at[s, :, pl.ds(np.int32(G), tg), :],
+            out_hbm.at[:, pl.ds(pl.multiple_of(tile * tg, G), tg), :],
+            out_sems.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        start_in(t, slot)
+
+    # slot (t+1)%3 was last used by tile t-2; drain its out DMA before
+    # overwriting (it overlapped the whole of tile t-1's compute)
+    @pl.when((t >= 2) & (t + 1 < T))
+    def _():
+        out_dma(t - 2, nxt).wait()
+
+    @pl.when(t + 1 < T)
+    def _():
+        start_in(t + 1, nxt)
+
+    wait_in(t, slot)
+
+    row0 = t * tg - np.int32(G)
+    _color_steps_packed(Bs.at[slot], Us.at[slot], w33, m, row0, omega,
+                        symmetric)
+
+    out_dma(t, slot).start()
+
+    # tail: drain every out DMA not covered by a later prefetch
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(t, slot).wait()
+
+    if T >= 2:
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t - 1, jax.lax.rem(t - 1 + three, three)).wait()
+
+    if T >= 3:
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t - 2, jax.lax.rem(t - 2 + three, three)).wait()
+
+
+def fused_gs4_sweep_packed(u4: jnp.ndarray, b4: jnp.ndarray, w33, m: int,
+                           omega: float = 1.0, symmetric: bool = True,
+                           double_buffer: bool = True,
+                           interpret: bool = False,
+                           tg: int | None = None,
+                           pipeline: str | None = None) -> jnp.ndarray:
+    """One fused (symmetric) four-color GS sweep on plain packed fields.
+
+    Drop-in replacement for sparse/packed.gs4_sweep_packed — same
+    (4, M, M) operands, same iterates (sequential color order) — at
+    ~3 HBM field passes instead of 24. Requires ``eligible(m)``.
+
+    pipeline: 'sb' (DMA-compute-DMA serial), 'db' (2-slot rotation), or
+    'db3' (3-slot — in/compute/out fully concurrent); default 'db' when
+    double_buffer else 'sb'.
+    """
+    M = m + 1
+    if u4.shape != (4, M, M):
+        raise ValueError(f"expected (4, {M}, {M}) packed field, "
+                         f"got {u4.shape}")
+    if pipeline is None:
+        pipeline = auto_pipeline(M) if double_buffer else "sb"
+    if tg is None:
+        tg = pick_tile_rows(M, u4.dtype.itemsize, pipeline=pipeline)
+    if tg is None or M % LANE or M % tg:
+        raise ValueError(f"side {2*m+1} not eligible for the fused "
+                         "packed sweep")
+    nt = M // tg
+    W = tg + 2 * G
+    dtype = u4.dtype
+
+    if pipeline == "db3" and nt >= 2:
+        kernel = partial(_packed_sweep_kernel_db3, tg=tg, m=m, w33=w33,
+                         omega=omega, symmetric=symmetric, n_tiles=nt)
+        scratch = [
+            pltpu.VMEM((3, 4, W, M), dtype),
+            pltpu.VMEM((3, 4, W, M), dtype),
+            pltpu.SemaphoreType.DMA((3, 2)),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    elif pipeline == "db" and nt >= 2:
+        kernel = partial(_packed_sweep_kernel_db, tg=tg, m=m, w33=w33,
+                         omega=omega, symmetric=symmetric, n_tiles=nt)
+        scratch = [
+            pltpu.VMEM((2, 4, W, M), dtype),
+            pltpu.VMEM((2, 4, W, M), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = partial(_packed_sweep_kernel, tg=tg, m=m, w33=w33,
+                         omega=omega, symmetric=symmetric, n_tiles=nt)
+        scratch = [
+            pltpu.VMEM((4, W, M), dtype),
+            pltpu.VMEM((4, W, M), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    # no input_output_aliases: every tile's ghost rows must read the
+    # PRISTINE pre-sweep input (rbgs.py round-1 lesson — aliasing made
+    # tile t's lower ghosts observe tile t-1's post-sweep writes).
+    # Operands/result are pinned to HBM: with pl.ANY, XLA may place a
+    # small field's buffers in VMEM (S(1)) when the kernel sits inside a
+    # larger program, and those 3 extra field copies + our scratch blow
+    # the 16 MB scoped-vmem limit (observed at M=512 inside refine_step).
+    space = pl.ANY if interpret else pltpu.MemorySpace.HBM
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 2,
+        out_specs=pl.BlockSpec(memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((4, M, M), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(b4, u4)

