@@ -88,3 +88,67 @@ def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
         history.append((it, error))
     return SolveResult(u=state[0], iterations=it, error=error,
                        converged=error <= tolerance, history=history)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _pcg_device(hier, b2, tolerance, n_iters, fused, min_side):
+    from amg_tpu.structured import PACKED_MIN_SIDE
+
+    pms = PACKED_MIN_SIDE if min_side is None else min_side
+
+    if hier.smoother == "packed":
+        def cycle(h, z, r):
+            return vcycle_packed(h, z, r, min_side=pms, fused=fused)
+    else:
+        cycle = vcycle_stencil
+
+    def A_neg(x):
+        return -hier.levels[0].matvec2(x)
+
+    def precond(r):
+        return -cycle(hier, jnp.zeros_like(r), r)
+
+    r0 = -b2
+    z0 = precond(r0)
+    tol = jnp.asarray(tolerance, dtype=b2.dtype)
+
+    def cond(state):
+        u, r, z, p, it, err = state
+        return (err > tol) & (it < n_iters)
+
+    def body(state):
+        u, r, z, p, it, _ = state
+        Ap = A_neg(p)
+        # the two inner products become jax.lax.psum'd partials in the
+        # row-partitioned distributed variant — keep them explicit
+        alpha = jnp.vdot(r, z) / jnp.vdot(p, Ap)
+        u = u + alpha * p
+        r_new = r - alpha * Ap
+        z_new = precond(r_new)
+        beta = jnp.vdot(r_new, z_new) / jnp.vdot(r, z)
+        p = z_new + beta * p
+        err = rss_from_residual(r_new)
+        return (u, r_new, z_new, p, it + 1, err)
+
+    init = (jnp.zeros_like(b2), r0, z0, z0,
+            jnp.asarray(0, dtype=jnp.int32), rss_from_residual(r0))
+    u, r, z, p, it, err = jax.lax.while_loop(cond, body, init)
+    return u, jnp.stack([err, it.astype(b2.dtype)])
+
+
+def solve_pcg_device(hier: StencilHierarchy, b2, tolerance: float = 1e-7,
+                     n_iters: int = 100, fused: bool = False,
+                     min_side: int | None = None):
+    """Device-resident PCG (VERDICT r3 #7): the whole iteration —
+    matvec, V-cycle preconditioner, inner products, convergence test —
+    is ONE lax.while_loop program; no per-iteration host fetch (the host
+    loop above pays a ~25 ms tunnel round trip per iteration and remains
+    as the debug path).
+
+    Returns ``(u, stats)`` device arrays with ``stats = [rss, iters]``
+    — fetch stats once to synchronize (bench.py methodology). f32-native:
+    for reference-grade (<=1e-9) tolerances wrap it in defect correction
+    (structured.StructuredSolver) instead.
+    """
+    return _pcg_device(hier, b2, float(tolerance), n_iters, fused,
+                       min_side)

@@ -33,3 +33,32 @@ def test_pcg_nonconvergence_reported():
     res = solve_pcg_stencil(hier, b2, tolerance=1e-30, n_iters=2)
     assert not res.converged
     assert res.iterations == 2
+
+
+def test_pcg_device_matches_host_loop():
+    """Device-resident PCG (one lax.while_loop dispatch) must walk the
+    exact same iteration as the host-stepped debug loop."""
+    from amg_tpu.krylov import solve_pcg_device
+    from amg_tpu.structured import build_stencil_hierarchy_device
+
+    side = 63
+    hier = build_stencil_hierarchy_device(side, smoother="packed")
+    b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
+    u, stats = solve_pcg_device(hier, b2, tolerance=1e-7, n_iters=50)
+    err, it = np.asarray(stats)
+    ref = solve_pcg_stencil(hier, b2, tolerance=1e-7, n_iters=50)
+    assert ref.converged and err <= 1e-7
+    assert int(it) == ref.iterations
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(ref.u))
+
+
+def test_pcg_device_budget_exhaustion():
+    from amg_tpu.krylov import solve_pcg_device
+    from amg_tpu.structured import build_stencil_hierarchy_device
+
+    side = 31
+    hier = build_stencil_hierarchy_device(side, smoother="packed")
+    b2 = poisson.rhs(side, dtype=jnp.float32).reshape(side, side)
+    u, stats = solve_pcg_device(hier, b2, tolerance=1e-30, n_iters=3)
+    err, it = np.asarray(stats)
+    assert int(it) == 3 and err > 1e-30
