@@ -47,14 +47,16 @@ class StructuredConfig:
     symmetric: bool = True
     refine_tolerance: float = 1e-9
     cycles_per_refine: int = 2
-    # 'packed' (production) | 'masked' | 'fused' | 'chebyshev' | 'strided'
-    smoother: str = "packed"
+    # 'auto' (measured per-level selection — production default) |
+    # 'packed' | 'masked' | 'fused' | 'chebyshev' | 'strided'
+    smoother: str = "auto"
     packed_min_side: int | None = None  # None -> structured.PACKED_MIN_SIDE
 
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Distribution knobs (amg_tpu/parallel/structured_dist.py)."""
+    """Distribution knobs (amg_tpu/parallel/structured_dist.py,
+    parallel/ell_dist.py)."""
 
     n_devices: int | None = None   # default: all local devices
     axis_name: str = "x"
@@ -63,3 +65,6 @@ class MeshConfig:
     # | 'step'; ELL path accepts 'step' | 'strips' (others fall back to
     # its default). Consumed via the solvers' config= argument.
     halo: str = "overlap"
+    # f32 V-cycles per df32 defect-correction step (honored by ALL three
+    # solvers; the ELL path hardcoded 2 until r4 — VERDICT r3 #8)
+    cycles_per_refine: int = 2

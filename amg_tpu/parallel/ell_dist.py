@@ -233,7 +233,8 @@ class EllDistSolver:
     def __init__(self, A, b, n_levels: int, n_devices: int | None = None,
                  dtype=jnp.float64, interpolator=None, omega: float = 1.0,
                  symmetric: bool = True, min_rows: int = 2,
-                 halo: str = "step", config=None):
+                 halo: str = "step", config=None,
+                 cycles_per_refine: int | None = None):
         import scipy.sparse as sp
         from amg_tpu.sparse.ell import ELL
         from amg_tpu.utils.coloring import greedy_coloring
@@ -248,6 +249,12 @@ class EllDistSolver:
             cfg_halo = getattr(config, "halo", halo)
             if cfg_halo in ("strips", "step"):
                 halo = cfg_halo
+            if cycles_per_refine is None:
+                cycles_per_refine = getattr(config, "cycles_per_refine",
+                                            None)
+        if cycles_per_refine is None:
+            cycles_per_refine = 2
+        self.cycles_per_refine = cycles_per_refine
         if n_devices is None:
             n_devices = len(jax.devices())
         if halo not in ("strips", "step"):
@@ -328,9 +335,24 @@ class EllDistSolver:
             # ghost strips: ONE exchange per sweep instead of one per color
             # step (2C ppermute pairs -> 1). Eligible while the strip fits
             # one neighbor slab (H <= B; extended compute <= 3x local).
+            #
+            # Strip width uses the TRUE per-row reach beta = max|col - row|
+            # (host numpy over the level matrix), NOT ShardedOp.W: W only
+            # measures how far referenced columns overflow the owner's
+            # block, but the temporal-blocking invalid front advances by
+            # the full coupling distance per color step — a row coupling
+            # across beta > W *inside* a block would exceed an H built
+            # from W and silently corrupt rows in the supposedly-exact
+            # region (ADVICE r3; tests/test_ell_dist.py long-range case).
+            # W keeps serving the per-step window path, which only needs
+            # the block-overflow bound.
             C = masks_np.shape[0]
             n_steps = (2 * C if symmetric else C)
-            H = n_steps * A_op.W
+            Ml_coo = mats[l].tocoo()
+            beta = (int(np.abs(Ml_coo.col - Ml_coo.row).max())
+                    if Ml_coo.nnz else 0)
+            beta = max(beta, 1)
+            H = n_steps * beta
             if halo == "strips" and 0 < H <= Bs[l]:
                 dE, cE, mE, gE = build_ext_panels(
                     mats[l], colors_pad, diag_np, D, Bs[l], H)
@@ -402,6 +424,7 @@ class EllDistSolver:
         omega = self.omega
         symmetric = self.symmetric
         sub_hier = self.sub_hier
+        cpr = self.cycles_per_refine
         sub_smoother = self.sub_smoother
         levels = self.levels
         sizes = self.sizes
@@ -506,7 +529,7 @@ class EllDistSolver:
             r = df_add(DF32(hi=bh, lo=bl), df_neg(acc))
             err = lax.psum(df_rss(r), AXIS)
             e = jnp.zeros_like(uh)
-            for _ in range(2):  # cycles_per_refine
+            for _ in range(cpr):  # cycles_per_refine (MeshConfig knob)
                 e = vcycle_local(level_arrays, ext_arrays, Pb_data_loc,
                                  Pb_cols_loc, e, r.hi)
             u_next = df_add_f32(DF32(hi=uh, lo=ul), e)
@@ -619,7 +642,7 @@ class EllDistSolver:
             if error <= tolerance:
                 break
             uh, ul = uh2, ul2
-            it += 2  # cycles_per_refine
+            it += self.cycles_per_refine
         u_hi = self.unpad_vec(uh)
         u_lo = self.unpad_vec(ul)
         if jax.config.jax_enable_x64:

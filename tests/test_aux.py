@@ -157,3 +157,20 @@ def test_checkpoint_plane_free_hierarchy_roundtrip():
     assert r2.converged and r1.iterations == r2.iterations
     np.testing.assert_allclose(np.asarray(r2.u), np.asarray(r1.u),
                                rtol=1e-12, atol=1e-14)
+
+
+def test_explicit_args_beat_config():
+    """ADVICE r3: a config must not silently override an explicitly
+    passed constructor argument (None-sentinel resolution order:
+    explicit > config > default)."""
+    from amg_tpu.structured import StructuredSolver
+
+    cfg = StructuredConfig(smoother="masked", cycles_per_refine=3)
+    s = StructuredSolver(15, smoother="packed", precision="f64",
+                         config=cfg)
+    assert s.smoother == "packed"          # explicit wins
+    assert s.cycles_per_refine == 3        # config fills the rest
+    s2 = StructuredSolver(15, precision="f64", config=cfg)
+    assert s2.smoother == "masked"         # config wins over default
+    s3 = StructuredSolver(15, precision="f64")
+    assert s3.smoother == "packed" and s3.fused_packed  # auto default

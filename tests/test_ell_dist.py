@@ -128,3 +128,55 @@ def test_ell_halo_strips_matches_step():
                         halo="strips")
     res = s32.solve_ir(tolerance=1e-8, n_refine=40)
     assert res.converged, (res.iterations, res.error)
+
+
+def test_strips_true_bandwidth_gating():
+    """ADVICE r3 (medium): the strips halo width must come from the TRUE
+    per-row reach max|col - row|, not ShardedOp.W (block-overflow only).
+    A matrix with a long-range coupling that stays INSIDE a block has
+    beta >> W; an H built from W under-provisions the ghost strip and
+    silently corrupts rows. With the fix, such a level is ineligible for
+    strips (falls back to the per-step window) and the solve matches the
+    direct solution."""
+    import scipy.sparse as sp
+
+    n = 31
+    main = 2.0 * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    A = sp.diags([off, main, off], [-1, 0, 1]).tolil()
+    for i in range(2, 6):  # in-block coupling, reach 10 (W stays ~1)
+        A[i, i + 10] = -0.2
+        A[i + 10, i] = -0.2
+        A[i, i] += 0.2
+        A[i + 10, i + 10] += 0.2
+    A = A.tocsr()
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    u_direct = np.linalg.solve(A.toarray(), b)
+    s = EllDistSolver(A, b, n_levels=2, n_devices=2, halo="strips")
+    assert s._ext_meta == [None]  # beta-gated: strips ineligible here
+    res = s.solve(tolerance=1e-9, n_iters=100)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.u), u_direct, rtol=0,
+                               atol=1e-6)
+
+
+def test_cycles_per_refine_plumbed():
+    """VERDICT r3 #8: the knob must be honored by the ELL path (it was
+    hardcoded to 2), via argument or MeshConfig."""
+    from amg_tpu.config import MeshConfig
+    from amg_tpu.models import poisson
+
+    side = 15
+    A = poisson.laplacian_scipy(side)
+    b = np.asarray(poisson.rhs(side)).astype(float)
+    s = EllDistSolver(A, b, n_levels=3, n_devices=2, dtype=jnp.float32,
+                      config=MeshConfig(cycles_per_refine=3))
+    assert s.cycles_per_refine == 3
+    res = s.solve_ir(tolerance=1e-9, n_refine=40)
+    assert res.converged and res.iterations % 3 == 0
+    # explicit argument beats config (None-sentinel resolution)
+    s2 = EllDistSolver(A, b, n_levels=3, n_devices=2, dtype=jnp.float32,
+                       cycles_per_refine=1,
+                       config=MeshConfig(cycles_per_refine=3))
+    assert s2.cycles_per_refine == 1
