@@ -320,6 +320,13 @@ PACKED_MIN_SIDE = 200
 FUSED_PACKED_MIN_SIDE = 1023
 
 
+def _mosaic_ok() -> bool:
+    """Mosaic kernels only lower on real TPU (the axon tunnel reports
+    backend 'tpu'); on the CPU test mesh the auto smoother silently keeps
+    the XLA packed sweep. Separated out so tests can patch it."""
+    return jax.default_backend() == "tpu"
+
+
 def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
                   post_sweeps: int = 1, omega: float = 1.0,
                   symmetric: bool = True, _level: int = 0,
@@ -371,7 +378,7 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     m = (S.side - 1) // 2
     if S.w33 is not None:
         use_fused = False
-        if fused and S.side >= FUSED_PACKED_MIN_SIDE:
+        if fused and S.side >= FUSED_PACKED_MIN_SIDE and _mosaic_ok():
             from amg_tpu.ops.pallas.packed_rbgs import (eligible,
                                                         fused_gs4_sweep_packed)
 
@@ -702,7 +709,7 @@ class StructuredSolver:
             return rss_from_residual(b64 - A.matvec2(u64))
 
         @partial(jax.jit, static_argnums=(4,))
-        def solve_loop_f64(h, A, b64, tol, n_refine):
+        def solve_loop_f64(h, A, b64, tol, n_refine, rtol=0.0):
             """Whole defect-correction solve as ONE device program
             (lax.while_loop): no host round-trip per refinement step. The
             loop-carried error lags the iterate by one step (it is the rss
@@ -710,9 +717,11 @@ class StructuredSolver:
             refinement past convergence; the final exact rss is computed
             after exit."""
 
+            tol_eff = jnp.maximum(tol, rtol * rss_from_residual(b64))
+
             def cond(state):
                 u, err, it = state
-                return (err > tol) & (it < n_refine)
+                return (err > tol_eff) & (it < n_refine)
 
             def body(state):
                 u, _, it = state
@@ -743,7 +752,7 @@ class StructuredSolver:
         A64_w33 = A64.w33
 
         @partial(jax.jit, static_argnums=(4,))
-        def solve_loop_df32(h, A_c_df, b64, tol, n_refine):
+        def solve_loop_df32(h, A_c_df, b64, tol, n_refine, rtol=0.0):
             """Defect-correction solve with the f64 residual replaced by
             double-float32 arithmetic (ops/doublefloat.py): TPU v5e has no
             f64 hardware, so the emulated-f64 residual matvec dominated the
@@ -764,9 +773,13 @@ class StructuredSolver:
                     return df_residual_const(A64_w33, b_df, u)
                 return df_residual(A_c_df, b_df, u)
 
+            # relative mode: err <= rtol * rss(b) (rss at u = 0); the
+            # absolute tol dominates when rtol = 0 (reference semantics)
+            tol_eff = jnp.maximum(tol, rtol * df_rss_fast(b_df))
+
             def cond(state):
                 u, err, it = state
-                return (err > tol) & (it < n_refine)
+                return (err > tol_eff) & (it < n_refine)
 
             def body(state):
                 u, _, it = state
@@ -811,7 +824,8 @@ class StructuredSolver:
                 return e4
 
             @partial(jax.jit, static_argnums=(4,))
-            def solve_loop_df32_packed(h, A_c_df, b64, tol, n_refine):
+            def solve_loop_df32_packed(h, A_c_df, b64, tol, n_refine,
+                                       rtol=0.0):
                 from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
                                                      df_rss_fast)
                 from amg_tpu.sparse.packed import (
@@ -823,9 +837,11 @@ class StructuredSolver:
                 def residual(u4):
                     return df_residual_const_packed(A64_w33, b4, u4, m_f)
 
+                tol_eff = jnp.maximum(tol, rtol * df_rss_fast(b4))
+
                 def cond(state):
                     u4, err, it = state
-                    return (err > tol) & (it < n_refine)
+                    return (err > tol_eff) & (it < n_refine)
 
                 def body(state):
                     u4, _, it = state
@@ -841,7 +857,7 @@ class StructuredSolver:
                         e4 = cycles32_p(h, jnp.zeros_like(r.hi), r.hi)
                         return df_add_f32(u_in, e4)
 
-                    did = err > tol
+                    did = err > tol_eff
                     u_next = jax.lax.cond(did, refine,
                                           lambda u_in: u_in, u4)
                     # count only refinements that actually cycled (the
@@ -880,7 +896,7 @@ class StructuredSolver:
                 # err > tol in the state), so the state err is exactly
                 # rss(u_final) — recompute only on budget exhaustion
                 final_err = jax.lax.cond(
-                    err_out <= tol, lambda: err_out,
+                    err_out <= tol_eff, lambda: err_out,
                     lambda: df_rss_fast(residual(u4)))
                 u = (unpack(u4.hi, m_f).astype(jnp.float64)
                      + unpack(u4.lo, m_f).astype(jnp.float64))
@@ -914,9 +930,9 @@ class StructuredSolver:
     def _residual_rss(self, u64, b64):
         return self._residual_rss_j(self._A64, u64, b64)
 
-    def _solve_loop(self, b64, tol, n_refine):
+    def _solve_loop(self, b64, tol, n_refine, rtol=0.0):
         A = self._A_df if self.precision == "df32" else self._A64
-        return self._solve_loop_j(self.hier, A, b64, tol, n_refine)
+        return self._solve_loop_j(self.hier, A, b64, tol, n_refine, rtol)
 
     def warmup(self):
         """Compile all programs (first call is slow on a cold cache).
@@ -933,7 +949,7 @@ class StructuredSolver:
         np.asarray(stats)
 
     def solve_ir_device(self, b2_f64, tolerance: float = 1e-7,
-                        n_refine: int = 40):
+                        n_refine: int = 40, rtol: float = 0.0):
         """Device-only solve: one dispatch, NO host synchronization.
 
         Returns ``(u, stats)`` device arrays where ``stats = [final_rss,
@@ -942,10 +958,11 @@ class StructuredSolver:
         device program without paying scalar-fetch round trips (~25 ms each
         through a remote-TPU tunnel).
         """
-        return self._solve_loop(b2_f64, tolerance, n_refine)
+        return self._solve_loop(b2_f64, tolerance, n_refine, rtol)
 
     def solve_ir_fused(self, b2_f64, tolerance: float = 1e-7,
-                       n_refine: int = 40) -> SolveResult:
+                       n_refine: int = 40,
+                       rtol: float = 0.0) -> SolveResult:
         """One-dispatch device-resident solve + a single packed stats fetch
         (see solve_loop_*).
 
@@ -954,7 +971,7 @@ class StructuredSolver:
         ``history`` holds the single final (iterations, rss) point since the
         loop never synchronizes with the host.
         """
-        u, stats = self._solve_loop(b2_f64, tolerance, n_refine)
+        u, stats = self._solve_loop(b2_f64, tolerance, n_refine, rtol)
         err_v, it_v = np.asarray(stats)  # ONE host round trip
         error = float(err_v)
         iters = int(it_v) * self.cycles_per_refine

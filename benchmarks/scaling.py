@@ -92,10 +92,12 @@ def main():
     D = counts[-1]
     if D >= 2:
         for halo, fv in (("step", True), ("sweep", False),
-                         ("overlap", False)):
+                         ("overlap", False), ("sweep", True),
+                         ("overlap", True)):
             t = bench_devices(side, D, halo=halo, force_var=fv)
             print(json.dumps({"scenario": "halo_mode", "side": side,
                               "n_devices": D, "halo": halo,
+                              "force_var": fv,
                               "vcycle_ms": round(t * 1e3, 3)}), flush=True)
         # same comparison on the banded-window ELL path: per-color-step
         # exchange vs one-ghost-strip-per-sweep

@@ -36,16 +36,28 @@ import numpy as np
 SIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 4095
 
 
-def timed(fn, *args, target_s=0.3, max_inner=2000):
+def timed(fn, *args, target_s=0.4, max_inner=4000):
     """Best-of-4 per-iteration seconds of jitted fn(carry, *args, k) that
-    runs its body k times and returns a scalar."""
-    # calibrate inner count with a short run
-    k = 4
-    float(fn(*args, k))  # compile
-    t0 = time.perf_counter()
-    float(fn(*args, k))
-    per = (time.perf_counter() - t0) / k
-    k = int(min(max_inner, max(8, target_s / max(per, 1e-7))))
+    runs its body k times and returns a scalar.
+
+    TWO-POINT calibration (r4 lesson): a single short run bakes the
+    ~25 ms tunnel round trip into the per-iteration estimate, making the
+    chosen k far too small and every reported number dispatch-inflated
+    (the r4 first-pass profile overstated the sweep 2x this way). Slope
+    between k=8 and k=64 removes the constant term; the final k then
+    amortizes dispatch below ~5%."""
+    for k in (8, 64):
+        float(fn(*args, k))  # compile both trip counts
+    t8 = t64 = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(fn(*args, 8))
+        t8 = min(t8, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fn(*args, 64))
+        t64 = min(t64, time.perf_counter() - t0)
+    per = max((t64 - t8) / 56, 1e-7)
+    k = int(min(max_inner, max(64, target_s / per)))
     float(fn(*args, k))  # compile at the real k
     best = 1e9
     for _ in range(4):
@@ -79,7 +91,13 @@ def main():
     b4_df = DF32(hi=b4, lo=jnp.zeros_like(b4))
 
     # --- incremental composition ladder ---------------------------------
+    from amg_tpu.ops.pallas.packed_rbgs import (eligible,
+                                                fused_gs4_sweep_packed)
+    use_fz = solver.fused_packed and eligible(m)
+
     def body_sweep(u, b):
+        if use_fz:
+            return fused_gs4_sweep_packed(u, b, w33, m, 1.0, True)
         return gs4_sweep_packed(u, b, w33, m, 1.0, True)
 
     def body_resid(u, b):
@@ -119,10 +137,12 @@ def main():
         print(f"  {name}: {t * 1e3:.3f} ms", file=sys.stderr, flush=True)
 
     # --- whole-body stages ---------------------------------------------
+    fz = solver.fused_packed
+
     def body_vcycle(u, b):
         return vcycle_packed(hier, u, b, 1, 1, 1.0, True,
                              _packed_in=True,
-                             min_side=solver.packed_min_side)
+                             min_side=solver.packed_min_side, fused=fz)
 
     @partial(jax.jit, static_argnums=(2,))
     def loop_vcycle(u, b, k):
@@ -142,7 +162,7 @@ def main():
         def body(_, uu):
             o = vcycle_packed(hier, jnp.zeros_like(uu), b, 1, 1, 1.0,
                               True, _level=1,
-                              min_side=solver.packed_min_side)
+                              min_side=solver.packed_min_side, fused=fz)
             return uu + jnp.float32(1e-6) * o
         o = jax.lax.fori_loop(0, k, body, u)
         return jnp.sum(o)
@@ -176,7 +196,7 @@ def main():
         for _ in range(solver.cycles_per_refine):
             e = vcycle_packed(hier, jnp.zeros_like(e) if e is r.hi else e,
                               r.hi, 1, 1, 1.0, True, _packed_in=True,
-                              min_side=solver.packed_min_side)
+                              min_side=solver.packed_min_side, fused=fz)
         u2 = df_add_f32(u_df, e)
         return DF32(hi=u2.hi + (jnp.float32(1e-12) * err
                                 ).astype(jnp.float32), lo=u2.lo)
@@ -197,11 +217,12 @@ def main():
     def loop_fmg(uhi, k):
         def body(_, carry):
             bc = restrict_packed(carry, m)
-            uc = fmg_stencil(hier, bc, 1, 1, 1, 1.0, True, start_level=1)
+            uc = fmg_stencil(hier, bc, 1, 1, 1, 1.0, True, start_level=1,
+                             fused=fz)
             u0f = prolong_add_packed(jnp.zeros_like(carry), uc, m)
             u0f = vcycle_packed(hier, u0f, carry, 1, 1, 1.0, True,
                                 _packed_in=True,
-                                min_side=solver.packed_min_side)
+                                min_side=solver.packed_min_side, fused=fz)
             return carry + jnp.float32(1e-6) * u0f
         o = jax.lax.fori_loop(0, k, body, uhi)
         return jnp.sum(o)

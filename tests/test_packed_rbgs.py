@@ -123,6 +123,7 @@ def test_vcycle_packed_fused_matches_unfused():
     u0 = jnp.zeros_like(b2)
     ref = structured.vcycle_packed(hier, u0, b2, min_side=100)
     with mock.patch.object(structured, "FUSED_PACKED_MIN_SIDE", 200), \
+            mock.patch.object(structured, "_mosaic_ok", lambda: True), \
             mock.patch(
                 "amg_tpu.ops.pallas.packed_rbgs.fused_gs4_sweep_packed",
                 lambda *a, **k: fused_gs4_sweep_packed(
