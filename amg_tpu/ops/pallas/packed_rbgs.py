@@ -145,22 +145,24 @@ def _color_steps_packed(Bs, Us, w33, m: int, row0, omega: float,
         Us[np.int32(a)] = Ua + jnp.where(mask, omega * delta, zero)
 
 
-def _dma_in(hbm, scratch, sem, t, n_tiles: int, tg: int, Mp: int):
+def _dma_in(hbm, scratch, sem, t, n_tiles: int, tg: int, Mp: int,
+            g: int = G):
     """Tile t's ghosted input DMA with boundary zero-fill.
 
-    Loads global packed rows [t*tg - G, t*tg + tg + G) of a (4, Mp, M)
+    Loads global packed rows [t*tg - g, t*tg + tg + g) of a (4, Mp, M)
     field into the (4, W, M) scratch; rows outside [0, Mp) become zeros
     (the Dirichlet/pad boundary). Distinct static shapes per boundary
-    case — Pallas DMAs need static sizes."""
-    W = tg + 2 * G
+    case — Pallas DMAs need static sizes. ``g`` must be a multiple of 8
+    (sublane-aligned DMA offsets)."""
+    W = tg + 2 * g
     first = t == 0
     last = t == n_tiles - 1
 
     if n_tiles == 1:
-        scratch[:, :G, :] = jnp.zeros_like(scratch[:, :G, :])
-        scratch[:, W - G:, :] = jnp.zeros_like(scratch[:, W - G:, :])
+        scratch[:, :g, :] = jnp.zeros_like(scratch[:, :g, :])
+        scratch[:, W - g:, :] = jnp.zeros_like(scratch[:, W - g:, :])
         dma = pltpu.make_async_copy(hbm.at[:, pl.ds(np.int32(0), tg), :],
-                                    scratch.at[:, pl.ds(np.int32(G), tg),
+                                    scratch.at[:, pl.ds(np.int32(g), tg),
                                                :], sem)
         dma.start()
         return dma
@@ -169,11 +171,11 @@ def _dma_in(hbm, scratch, sem, t, n_tiles: int, tg: int, Mp: int):
 
     @pl.when(first)
     def _():
-        scratch[:, :G, :] = jnp.zeros_like(scratch[:, :G, :])
+        scratch[:, :g, :] = jnp.zeros_like(scratch[:, :g, :])
 
     @pl.when(last)
     def _():
-        scratch[:, W - G:, :] = jnp.zeros_like(scratch[:, W - G:, :])
+        scratch[:, W - g:, :] = jnp.zeros_like(scratch[:, W - g:, :])
 
     # Three static-shape cases; exactly one starts per tile, all signal
     # the same semaphore, and the matching wait below re-derives the case
@@ -181,27 +183,28 @@ def _dma_in(hbm, scratch, sem, t, n_tiles: int, tg: int, Mp: int):
     @pl.when(first)
     def _():
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(np.int32(0), tg + G), :],
-            scratch.at[:, pl.ds(np.int32(G), tg + G), :], sem).start()
+            hbm.at[:, pl.ds(np.int32(0), tg + g), :],
+            scratch.at[:, pl.ds(np.int32(g), tg + g), :], sem).start()
 
     @pl.when(last)
     def _():
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), tg + G), :],
-            scratch.at[:, pl.ds(np.int32(0), tg + G), :], sem).start()
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - g, 8), tg + g), :],
+            scratch.at[:, pl.ds(np.int32(0), tg + g), :], sem).start()
 
     @pl.when(jnp.logical_not(first | last))
     def _():
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), W), :],
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - g, 8), W), :],
             scratch.at[:, pl.ds(np.int32(0), W), :], sem).start()
 
     return None
 
 
-def _dma_in_wait(hbm, scratch, sem, t, n_tiles: int, tg: int):
+def _dma_in_wait(hbm, scratch, sem, t, n_tiles: int, tg: int,
+                 g: int = G):
     """Wait for whichever _dma_in case tile t started (same descriptor)."""
-    W = tg + 2 * G
+    W = tg + 2 * g
     first = t == 0
     last = t == n_tiles - 1
     row0 = t * tg
@@ -209,19 +212,19 @@ def _dma_in_wait(hbm, scratch, sem, t, n_tiles: int, tg: int):
     @pl.when(first)
     def _():
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(np.int32(0), tg + G), :],
-            scratch.at[:, pl.ds(np.int32(G), tg + G), :], sem).wait()
+            hbm.at[:, pl.ds(np.int32(0), tg + g), :],
+            scratch.at[:, pl.ds(np.int32(g), tg + g), :], sem).wait()
 
     @pl.when(last)
     def _():
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), tg + G), :],
-            scratch.at[:, pl.ds(np.int32(0), tg + G), :], sem).wait()
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - g, 8), tg + g), :],
+            scratch.at[:, pl.ds(np.int32(0), tg + g), :], sem).wait()
 
     @pl.when(jnp.logical_not(first | last))
     def _():
         pltpu.make_async_copy(
-            hbm.at[:, pl.ds(pl.multiple_of(row0 - G, G), W), :],
+            hbm.at[:, pl.ds(pl.multiple_of(row0 - g, 8), W), :],
             scratch.at[:, pl.ds(np.int32(0), W), :], sem).wait()
 
 

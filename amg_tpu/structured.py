@@ -376,13 +376,20 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
         return cycle_stencil(hier, u2, b2, 1, pre_sweeps, post_sweeps,
                              omega, symmetric, _level=l)
     m = (S.side - 1) // 2
+    use_fused = use_legs = False
     if S.w33 is not None:
-        use_fused = False
         if fused and S.side >= FUSED_PACKED_MIN_SIDE and _mosaic_ok():
             from amg_tpu.ops.pallas.packed_rbgs import (eligible,
                                                         fused_gs4_sweep_packed)
 
             use_fused = eligible(m)
+            if use_fused and pre_sweeps == 1 and post_sweeps == 1:
+                # whole-leg kernels: pre-smooth+residual+restrict and
+                # prolong+post-smooth each become ONE pass over the
+                # fields (ops/pallas/packed_cycle.py)
+                from amg_tpu.ops.pallas import packed_cycle
+
+                use_legs = packed_cycle.eligible(m)
         if use_fused:
             def sweep(u4_, b4_):
                 return fused_gs4_sweep_packed(u4_, b4_, S.w33, m, omega,
@@ -407,16 +414,28 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     else:
         u4 = pack(u2, m)
         b4 = pack(b2, m)
-    for _ in range(pre_sweeps):
-        u4 = sweep(u4, b4)
-    r4 = resid(u4, b4)
-    bc = restrict_packed(r4, m)  # dense (m, m) coarse field
+    if use_legs:
+        from amg_tpu.ops.pallas.packed_cycle import (fused_down_leg_packed,
+                                                     fused_up_leg_packed)
+
+        u4, bc_pad = fused_down_leg_packed(u4, b4, S.w33, m, omega,
+                                           symmetric)
+        bc = bc_pad[:m, :m]
+    else:
+        for _ in range(pre_sweeps):
+            u4 = sweep(u4, b4)
+        r4 = resid(u4, b4)
+        bc = restrict_packed(r4, m)  # dense (m, m) coarse field
     uc = vcycle_packed(hier, jnp.zeros_like(bc), bc, pre_sweeps,
                        post_sweeps, omega, symmetric, _level=l + 1,
                        min_side=min_side, fused=fused)
-    u4 = prolong_add_packed(u4, uc, m)
-    for _ in range(post_sweeps):
-        u4 = sweep(u4, b4)
+    if use_legs:
+        u4 = fused_up_leg_packed(u4, b4, jnp.pad(uc, ((0, 1), (0, 1))),
+                                 S.w33, m, omega, symmetric)
+    else:
+        u4 = prolong_add_packed(u4, uc, m)
+        for _ in range(post_sweeps):
+            u4 = sweep(u4, b4)
     if _packed_in:
         return u4
     return unpack(u4, m)

@@ -146,6 +146,45 @@ def pallas_hardware_gate():
         except Exception as e:  # noqa: BLE001 — per-variant report
             stats[name] = f"{type(e).__name__}: {str(e)[:200]}"
             failed.append(f"{name}: {type(e).__name__}")
+
+    # fused V-cycle leg kernels (ops/pallas/packed_cycle.py)
+    from amg_tpu.ops.pallas.packed_cycle import (fused_down_leg_packed,
+                                                 fused_up_leg_packed)
+    from amg_tpu.sparse.packed import (prolong_add_packed, residual_packed,
+                                       restrict_packed)
+
+    try:
+        bc_ref = np.asarray(jax.jit(lambda u, b: restrict_packed(
+            residual_packed(u, b, S_p.w33, m), m))(
+                jnp.asarray(pref), b4))
+        u_got, bc_pad = jax.jit(lambda u, b: fused_down_leg_packed(
+            u, b, S_p.w33, m, 1.0, True))(u4, b4)
+        md_u = float(np.abs(np.asarray(u_got) - pref).max()) / pscale
+        md_c = (float(np.abs(np.asarray(bc_pad)[:m, :m] - bc_ref).max())
+                / float(np.abs(bc_ref).max()))
+        stats["packed_down"] = max(md_u, md_c)
+        if stats["packed_down"] >= 1e-5:
+            failed.append(f"packed_down: WRONG reldiff={md_u:.1e}/{md_c:.1e}")
+    except Exception as e:  # noqa: BLE001
+        stats["packed_down"] = f"{type(e).__name__}: {str(e)[:200]}"
+        failed.append(f"packed_down: {type(e).__name__}")
+    try:
+        uc = jax.random.normal(jax.random.PRNGKey(3), (m, m),
+                               dtype=jnp.float32)
+        up_ref = np.asarray(jax.jit(lambda u, b, c: gs4_sweep_packed(
+            prolong_add_packed(u, c, m), b, S_p.w33, m, 1.0, True))(
+                u4, b4, uc))
+        got = np.asarray(jax.jit(lambda u, b, c: fused_up_leg_packed(
+            u, b, c, S_p.w33, m, 1.0, True))(
+                u4, b4, jnp.pad(uc, ((0, 1), (0, 1)))))
+        md = (float(np.abs(got - up_ref).max())
+              / float(np.abs(up_ref).max()))
+        stats["packed_up"] = md
+        if md >= 1e-5:
+            failed.append(f"packed_up: WRONG reldiff={md:.3e}")
+    except Exception as e:  # noqa: BLE001
+        stats["packed_up"] = f"{type(e).__name__}: {str(e)[:200]}"
+        failed.append(f"packed_up: {type(e).__name__}")
     log(f"pallas hardware parity gate: {stats}")
     assert not failed, f"fused Pallas kernel gate FAILED: {failed}"
     return stats
