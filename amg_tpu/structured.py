@@ -842,16 +842,18 @@ class StructuredSolver:
                                        fused=fused_packed)
                 return e4
 
-            @partial(jax.jit, static_argnums=(4,))
-            def solve_loop_df32_packed(h, A_c_df, b64, tol, n_refine,
-                                       rtol=0.0):
+            @partial(jax.jit, static_argnums=(3,))
+            def solve_core_packed(h, b4, tol, n_refine, rtol=0.0):
+                """The while_loop solve on an ALREADY packed df32 rhs:
+                the repeated-solve production form (prepare_b once, solve
+                many) — the f64 split + pack/unpack conversions cost
+                ~6.7 ms/solve at 4095^2, all of it amortizable across
+                solves like the hierarchy setup. Returns the packed df32
+                iterate (finalize_u converts when the caller needs
+                f64)."""
                 from amg_tpu.ops.doublefloat import (DF32, df_add_f32,
                                                      df_rss_fast)
-                from amg_tpu.sparse.packed import (
-                    df_residual_const_packed, pack, unpack)
-
-                b_df = DF32.from_f64(b64)
-                b4 = DF32(hi=pack(b_df.hi, m_f), lo=pack(b_df.lo, m_f))
+                from amg_tpu.sparse.packed import df_residual_const_packed
 
                 def residual(u4):
                     return df_residual_const_packed(A64_w33, b4, u4, m_f)
@@ -917,11 +919,38 @@ class StructuredSolver:
                 final_err = jax.lax.cond(
                     err_out <= tol_eff, lambda: err_out,
                     lambda: df_rss_fast(residual(u4)))
-                u = (unpack(u4.hi, m_f).astype(jnp.float64)
-                     + unpack(u4.lo, m_f).astype(jnp.float64))
-                return u, jnp.stack([final_err, it.astype(jnp.float64)])
+                return u4, jnp.stack([final_err, it.astype(jnp.float64)])
+
+            @jax.jit
+            def prepare_b_j(b64):
+                from amg_tpu.ops.doublefloat import DF32
+                from amg_tpu.sparse.packed import pack
+
+                b_df = DF32.from_f64(b64)
+                return DF32(hi=pack(b_df.hi, m_f), lo=pack(b_df.lo, m_f))
+
+            @jax.jit
+            def finalize_u_j(u4_df):
+                from amg_tpu.sparse.packed import unpack
+
+                return (unpack(u4_df.hi, m_f).astype(jnp.float64)
+                        + unpack(u4_df.lo, m_f).astype(jnp.float64))
+
+            @partial(jax.jit, static_argnums=(4,))
+            def solve_loop_df32_packed(h, A_c_df, b64, tol, n_refine,
+                                       rtol=0.0):
+                u4, stats = solve_core_packed(h, prepare_b_j(b64), tol,
+                                              n_refine, rtol)
+                return finalize_u_j(u4), stats
+
+            self._prepare_b_j = prepare_b_j
+            self._finalize_u_j = finalize_u_j
+            self._solve_core_j = solve_core_packed
         else:
             solve_loop_df32_packed = None
+            self._prepare_b_j = None
+            self._finalize_u_j = None
+            self._solve_core_j = None
 
         self._cycles32 = jax.jit(cycles32)
         self._refine_step_j = refine_step
@@ -966,6 +995,29 @@ class StructuredSolver:
         np.asarray(err)
         _, stats = self._solve_loop(z64, 1e-7, 40)
         np.asarray(stats)
+
+    def prepare_b(self, b2_f64):
+        """One-time RHS preparation for the repeated-solve form: f64 ->
+        packed df32 (the conversions cost ~6.7 ms/solve at 4095^2 and are
+        amortizable across solves exactly like the hierarchy setup).
+        Returns an opaque prepared rhs for solve_ir_device_prepared."""
+        if self._prepare_b_j is None:
+            raise ValueError("prepared-rhs path requires the packed df32 "
+                             "solve loop (smoother='auto'/'packed', "
+                             "const fine operator)")
+        return self._prepare_b_j(b2_f64)
+
+    def solve_ir_device_prepared(self, b4_df, tolerance: float = 1e-7,
+                                 n_refine: int = 40, rtol: float = 0.0):
+        """Device solve on a prepared rhs: returns ``(u4_df, stats)``
+        with the iterate still in packed df32 form — feed it to
+        ``finalize_u`` for the f64 field, or keep it packed to pipeline
+        into a following solve (e.g. time stepping)."""
+        return self._solve_core_j(self.hier, b4_df, tolerance, n_refine,
+                                  rtol)
+
+    def finalize_u(self, u4_df):
+        return self._finalize_u_j(u4_df)
 
     def solve_ir_device(self, b2_f64, tolerance: float = 1e-7,
                         n_refine: int = 40, rtol: float = 0.0):

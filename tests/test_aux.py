@@ -174,3 +174,22 @@ def test_explicit_args_beat_config():
     assert s2.smoother == "masked"         # config wins over default
     s3 = StructuredSolver(15, precision="f64")
     assert s3.smoother == "packed" and s3.fused_packed  # auto default
+
+
+def test_prepared_rhs_solve_matches_wrapper():
+    """prepare_b + solve_ir_device_prepared + finalize_u must reproduce
+    solve_ir_device bitwise (the conversions are merely hoisted)."""
+    import numpy as np
+
+    from amg_tpu.models import poisson
+    from amg_tpu.structured import StructuredSolver
+
+    side = 255  # >= packed_min_side: the prepared path needs the
+    # packed df32 solve loop
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s = StructuredSolver(side)
+    u_ref, st_ref = s.solve_ir_device(b2, tolerance=1e-9)
+    u4, st = s.solve_ir_device_prepared(s.prepare_b(b2), tolerance=1e-9)
+    np.testing.assert_array_equal(np.asarray(s.finalize_u(u4)),
+                                  np.asarray(u_ref))
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(st_ref))
