@@ -103,22 +103,28 @@ def pick_tile_rows(M: int, itemsize: int = 4,
 
 
 def _color_steps_packed(Bs, Us, w33, m: int, row0, omega: float,
-                        symmetric: bool):
+                        symmetric: bool, col0=None, M_full: int | None = None):
     """The unrolled color steps on VMEM scratch quarters.
 
-    Us/Bs: (4, W, M) refs. row0: global packed row of local row G (traced
-    int32). Update masks combine the quarter validity bounds (J < Mj,
-    I < Mi — the packed pad rows/cols stay exactly zero, sparse/packed.py
-    semantics) with the tile's global row range.
+    Us/Bs: (4, W, Wc) refs. row0/col0: global packed coordinates of the
+    tile origin (traced int32; col0 defaults to 0 — full-width tiles).
+    Update masks combine the quarter validity bounds (J < Mj, I < Mi —
+    the packed pad rows/cols stay exactly zero, sparse/packed.py
+    semantics) with the tile's global position; ghost rows/cols update
+    CORRECTLY (temporal blocking needs them exact until invalidated by
+    wrap fronts).
     """
-    _, W, M = Us.shape
+    _, W, Wc = Us.shape
+    M = Wc if M_full is None else M_full
     i32 = jnp.int32
     inv_diag = 1.0 / w33[1][1]
 
-    # global packed row of each local row (row0 already includes -G)
-    J_g = (jax.lax.broadcasted_iota(i32, (W, M), 0)
+    # global packed coords of each local cell (origin already includes -G)
+    J_g = (jax.lax.broadcasted_iota(i32, (W, Wc), 0)
            + jnp.asarray(row0, dtype=i32))
-    I_l = jax.lax.broadcasted_iota(i32, (W, M), 1)
+    I_g = jax.lax.broadcasted_iota(i32, (W, Wc), 1)
+    if col0 is not None:
+        I_g = I_g + jnp.asarray(col0, dtype=i32)
 
     order = list(COLORS)
     if symmetric:
@@ -141,8 +147,90 @@ def _color_steps_packed(Bs, Us, w33, m: int, row0, omega: float,
             acc = t if acc is None else acc + t
         Ua = Us[np.int32(a)]
         delta = (Bs[np.int32(a)] - acc) * inv_diag - Ua
-        mask = (J_g >= i32(0)) & (J_g < i32(Mj)) & (I_l < i32(Mi))
+        mask = (J_g >= i32(0)) & (J_g < i32(Mj)) & (I_g >= i32(0)) \
+            & (I_g < i32(Mi))
         Us[np.int32(a)] = Ua + jnp.where(mask, omega * delta, zero)
+
+
+def _axis_cases(t, n: int, tg: int, g: int, align: int = 8):
+    """Static DMA-clipping cases along one tiled axis.
+
+    Returns a list of (predicate-or-None, src_off, dst_off, size): the
+    ghosted range [t*tg - g, t*tg + tg + g) clipped to [0, n*tg), one
+    entry per static shape; exactly one predicate holds per tile
+    (None = unconditional, used when the axis has a single tile).
+    ``align`` is the divisibility Mosaic must prove for dynamic offsets
+    (8 sublanes for the row axis, 128 lanes for the column axis)."""
+    if n == 1:
+        return [(None, np.int32(0), np.int32(g), tg)]
+    first = t == 0
+    last = t == n - 1
+    out = [
+        (first, np.int32(0), np.int32(g), tg + g),
+        (last, pl.multiple_of(t * tg - g, align), np.int32(0), tg + g),
+    ]
+    if n >= 3:  # middle tiles exist (their slice must also fit the array)
+        out.append((jnp.logical_not(first | last),
+                    pl.multiple_of(t * tg - g, align), np.int32(0),
+                    tg + 2 * g))
+    return out
+
+
+def _dma_2d(hbm, scratch, sem, tr, tc, ntr: int, ntc: int, tgr: int,
+            tgc: int, gr: int, gc: int, start: bool):
+    """2-D ghosted tile DMA with boundary zero-fill (start or wait).
+
+    Loads packed rows [tr*tgr - gr, ...) x cols [tc*tgc - gc, ...) of a
+    (4, Mr, Mc) field into the (4, Wr, Wc) scratch; out-of-range rows/
+    cols become zeros. One row-case x col-case combination fires per
+    tile; all signal the same semaphore."""
+    Wr = tgr + 2 * gr
+    Wc = tgc + 2 * gc
+
+    if start:
+        # zero-fill the margins the DMA won't cover (corners get zeroed
+        # by both passes — harmless)
+        if ntr > 1:
+            @pl.when(tr == 0)
+            def _():
+                scratch[:, :gr, :] = jnp.zeros_like(scratch[:, :gr, :])
+
+            @pl.when(tr == ntr - 1)
+            def _():
+                scratch[:, Wr - gr:, :] = jnp.zeros_like(
+                    scratch[:, Wr - gr:, :])
+        else:
+            scratch[:, :gr, :] = jnp.zeros_like(scratch[:, :gr, :])
+            scratch[:, Wr - gr:, :] = jnp.zeros_like(
+                scratch[:, Wr - gr:, :])
+        if gc > 0 and ntc > 1:
+            @pl.when(tc == 0)
+            def _():
+                scratch[:, :, :gc] = jnp.zeros_like(scratch[:, :, :gc])
+
+            @pl.when(tc == ntc - 1)
+            def _():
+                scratch[:, :, Wc - gc:] = jnp.zeros_like(
+                    scratch[:, :, Wc - gc:])
+        elif gc > 0:
+            scratch[:, :, :gc] = jnp.zeros_like(scratch[:, :, :gc])
+            scratch[:, :, Wc - gc:] = jnp.zeros_like(
+                scratch[:, :, Wc - gc:])
+
+    for rp, rs, rd, rn in _axis_cases(tr, ntr, tgr, gr, align=8):
+        for cp, cs, cd, cn in _axis_cases(tc, ntc, tgc, gc, align=LANE):
+            def go(rs=rs, rd=rd, rn=rn, cs=cs, cd=cd, cn=cn):
+                dma = pltpu.make_async_copy(
+                    hbm.at[:, pl.ds(rs, rn), pl.ds(cs, cn)],
+                    scratch.at[:, pl.ds(rd, rn), pl.ds(cd, cn)], sem)
+                (dma.start if start else dma.wait)()
+
+            if rp is None and cp is None:
+                go()
+            else:
+                pred = (cp if rp is None
+                        else rp if cp is None else rp & cp)
+                pl.when(pred)(go)
 
 
 def _dma_in(hbm, scratch, sem, t, n_tiles: int, tg: int, Mp: int,
@@ -395,6 +483,195 @@ def _packed_sweep_kernel_db3(b_hbm, u_hbm, out_hbm, Bs, Us, in_sems,
             out_dma(t - 2, jax.lax.rem(t - 2 + three, three)).wait()
 
 
+GC = 128   # column ghost (lane-aligned; invalid front is only 8)
+
+
+def pick_tile_2d(M: int, itemsize: int = 4,
+                 pipeline: str = "db") -> tuple[int, int] | None:
+    """(tgr, tgc) maximizing read efficiency tgr/(tgr+2G) x tgc/(tgc+2GC)
+    under the VMEM envelope. Only sensible when a full-width row tile is
+    VMEM-squeezed (M >= 4096): the 256 ghost columns then cost less than
+    the tiny row tiles they replace."""
+    blocks = _PIPE_BLOCKS[pipeline]
+    best = None
+    best_eff = 0.0
+    for tgc in (4096, 2048, 1024, 512):
+        if M % tgc or tgc < GC:  # middle-tile clipping needs tgc >= gc
+            continue
+        Wc = tgc + (2 * GC if M > tgc else 0)
+        for tgr in (512, 256, 128, 64, 32, 16):
+            if M % tgr:
+                continue
+            Wr = tgr + 2 * G
+            if blocks * Wr * Wc * itemsize > VMEM_EFF:
+                continue
+            eff = (tgr / Wr) * (tgc / Wc)
+            if eff > best_eff:
+                best_eff, best = eff, (tgr, tgc)
+            break  # largest feasible tgr for this tgc
+    return best
+
+
+def _packed_sweep_kernel_2d(b_hbm, u_hbm, out_hbm, Bs, Us, sems, *,
+                            tgr: int, tgc: int, ntr: int, ntc: int,
+                            m: int, w33, omega: float, symmetric: bool,
+                            gc: int):
+    """Single-buffered 2-D tiled variant (rows x columns)."""
+    t = pl.program_id(0)
+    ntc_ = jnp.asarray(ntc, dtype=jnp.asarray(t).dtype)
+    tr = t // ntc_
+    tc = jax.lax.rem(t, ntc_)
+    M = u_hbm.shape[1]
+
+    _dma_2d(b_hbm, Bs, sems.at[np.int32(0)], tr, tc, ntr, ntc, tgr, tgc,
+            G, gc, start=True)
+    _dma_2d(u_hbm, Us, sems.at[np.int32(1)], tr, tc, ntr, ntc, tgr, tgc,
+            G, gc, start=True)
+    _dma_2d(b_hbm, Bs, sems.at[np.int32(0)], tr, tc, ntr, ntc, tgr, tgc,
+            G, gc, start=False)
+    _dma_2d(u_hbm, Us, sems.at[np.int32(1)], tr, tc, ntr, ntc, tgr, tgc,
+            G, gc, start=False)
+
+    row0 = tr * tgr - np.int32(G)
+    col0 = tc * tgc - np.int32(gc)
+    _color_steps_packed(Bs, Us, w33, m, row0, omega, symmetric,
+                        col0=col0, M_full=M)
+
+    cp_out = pltpu.make_async_copy(
+        Us.at[:, pl.ds(np.int32(G), tgr), pl.ds(np.int32(gc), tgc)],
+        out_hbm.at[:, pl.ds(pl.multiple_of(tr * tgr, 8), tgr),
+                   pl.ds(pl.multiple_of(tc * tgc, LANE), tgc)],
+        sems.at[np.int32(2)])
+    cp_out.start()
+    cp_out.wait()
+
+
+def _packed_sweep_kernel_2d_db(b_hbm, u_hbm, out_hbm, Bs, Us, in_sems,
+                               out_sems, *, tgr: int, tgc: int, ntr: int,
+                               ntc: int, m: int, w33, omega: float,
+                               symmetric: bool, gc: int):
+    """2-slot 2-D tiled variant (flattened row-major tile order)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    dt = jnp.asarray(t).dtype
+    ntc_ = jnp.asarray(ntc, dtype=dt)
+    two = jnp.asarray(2, dtype=dt)
+    slot = jax.lax.rem(t, two)
+    nxt = jax.lax.rem(t + 1, two)
+    M = u_hbm.shape[1]
+
+    def rc(tile):
+        return tile // ntc_, jax.lax.rem(tile, ntc_)
+
+    def io_2d(hbm, scr, sem, tile, start):
+        tr, tc = rc(tile)
+        _dma_2d(hbm, scr, sem, tr, tc, ntr, ntc, tgr, tgc, G, gc,
+                start=start)
+
+    def start_in(tile, s):
+        io_2d(b_hbm, Bs.at[s], in_sems.at[s, np.int32(0)], tile, True)
+        io_2d(u_hbm, Us.at[s], in_sems.at[s, np.int32(1)], tile, True)
+
+    def wait_in(tile, s):
+        io_2d(b_hbm, Bs.at[s], in_sems.at[s, np.int32(0)], tile, False)
+        io_2d(u_hbm, Us.at[s], in_sems.at[s, np.int32(1)], tile, False)
+
+    def out_dma(tile, s):
+        tr, tc = rc(tile)
+        return pltpu.make_async_copy(
+            Us.at[s, :, pl.ds(np.int32(G), tgr), pl.ds(np.int32(gc), tgc)],
+            out_hbm.at[:, pl.ds(pl.multiple_of(tr * tgr, 8), tgr),
+                       pl.ds(pl.multiple_of(tc * tgc, LANE), tgc)],
+            out_sems.at[s])
+
+    @pl.when(t == 0)
+    def _():
+        start_in(t, slot)
+
+    @pl.when((t >= 1) & (t + 1 < T))
+    def _():
+        out_dma(t - 1, nxt).wait()
+
+    @pl.when(t + 1 < T)
+    def _():
+        start_in(t + 1, nxt)
+
+    wait_in(t, slot)
+
+    tr, tc = rc(t)
+    _color_steps_packed(Bs.at[slot], Us.at[slot], w33, m,
+                        tr * tgr - np.int32(G), omega, symmetric,
+                        col0=tc * tgc - np.int32(gc), M_full=M)
+
+    out_dma(t, slot).start()
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(t, slot).wait()
+
+    if T >= 2:
+        @pl.when(t == T - 1)
+        def _():
+            out_dma(t - 1, nxt).wait()
+
+
+def fused_gs4_sweep_packed_2d(u4, b4, w33, m: int, omega: float = 1.0,
+                              symmetric: bool = True,
+                              tiles: tuple[int, int] | None = None,
+                              pipeline: str = "db",
+                              interpret: bool = False):
+    """2-D tiled fused sweep for quarter sizes where full-width row tiles
+    are VMEM-squeezed (M >= 4096): 256 ghost columns (the lane-alignment
+    minimum; the temporal invalid front is only 8) buy row tiles 4x
+    taller, cutting total ghost traffic ~1.6x at M = 4096."""
+    M = m + 1
+    if u4.shape != (4, M, M):
+        raise ValueError(f"expected (4, {M}, {M}) packed field, "
+                         f"got {u4.shape}")
+    if tiles is None:
+        tiles = pick_tile_2d(M, u4.dtype.itemsize, pipeline)
+    if tiles is None or M % LANE:
+        raise ValueError(f"side {2*m+1} not eligible for the 2-D fused "
+                         "packed sweep")
+    tgr, tgc = tiles
+    ntr, ntc = M // tgr, M // tgc
+    gc = GC if ntc > 1 else 0
+    Wr = tgr + 2 * G
+    Wc = tgc + 2 * gc
+    dtype = u4.dtype
+    nt = ntr * ntc
+
+    if pipeline == "db" and nt >= 2:
+        kernel = partial(_packed_sweep_kernel_2d_db, tgr=tgr, tgc=tgc,
+                         ntr=ntr, ntc=ntc, m=m, w33=w33, omega=omega,
+                         symmetric=symmetric, gc=gc)
+        scratch = [
+            pltpu.VMEM((2, 4, Wr, Wc), dtype),
+            pltpu.VMEM((2, 4, Wr, Wc), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = partial(_packed_sweep_kernel_2d, tgr=tgr, tgc=tgc,
+                         ntr=ntr, ntc=ntc, m=m, w33=w33, omega=omega,
+                         symmetric=symmetric, gc=gc)
+        scratch = [
+            pltpu.VMEM((4, Wr, Wc), dtype),
+            pltpu.VMEM((4, Wr, Wc), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ]
+    space = pl.ANY if interpret else pltpu.MemorySpace.HBM
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 2,
+        out_specs=pl.BlockSpec(memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((4, M, M), dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(b4, u4)
+
+
 def fused_gs4_sweep_packed(u4: jnp.ndarray, b4: jnp.ndarray, w33, m: int,
                            omega: float = 1.0, symmetric: bool = True,
                            double_buffer: bool = True,
@@ -417,6 +694,17 @@ def fused_gs4_sweep_packed(u4: jnp.ndarray, b4: jnp.ndarray, w33, m: int,
                          f"got {u4.shape}")
     if pipeline is None:
         pipeline = auto_pipeline(M) if double_buffer else "sb"
+    if tg is None and pipeline == "db" and M >= 4096:
+        # VMEM squeezes full-width tiles to tg<=32 here; 2-D tiling buys
+        # 4x taller rows for 256 ghost columns (~5% measured — the
+        # binding constraint at this size is DMA bandwidth, which tops
+        # out at ~430 GB/s vs 630 at M=2048; see docs/PERF.md r4)
+        tiles = pick_tile_2d(M, u4.dtype.itemsize, pipeline)
+        if tiles is not None:
+            return fused_gs4_sweep_packed_2d(u4, b4, w33, m, omega,
+                                             symmetric, tiles=tiles,
+                                             pipeline=pipeline,
+                                             interpret=interpret)
     if tg is None:
         tg = pick_tile_rows(M, u4.dtype.itemsize, pipeline=pipeline)
     if tg is None or M % LANE or M % tg:

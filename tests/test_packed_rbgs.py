@@ -124,6 +124,8 @@ def test_vcycle_packed_fused_matches_unfused():
     ref = structured.vcycle_packed(hier, u0, b2, min_side=100)
     with mock.patch.object(structured, "FUSED_PACKED_MIN_SIDE", 200), \
             mock.patch.object(structured, "_mosaic_ok", lambda: True), \
+            mock.patch("amg_tpu.ops.pallas.packed_cycle.eligible",
+                       lambda mm: False), \
             mock.patch(
                 "amg_tpu.ops.pallas.packed_rbgs.fused_gs4_sweep_packed",
                 lambda *a, **k: fused_gs4_sweep_packed(
@@ -132,3 +134,40 @@ def test_vcycle_packed_fused_matches_unfused():
                                        fused=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("tiles", [(64, 128), (32, 256)],
+                         ids=["r64c128", "r32c256"])
+@pytest.mark.parametrize("pipeline", ["sb", "db"])
+def test_2d_interpret_parity(tiles, pipeline):
+    """2-D (row x column) tiled variant: identical iterates; column
+    ghost = 128 lanes dwarfs the 8-step invalid front."""
+    from amg_tpu.ops.pallas.packed_rbgs import fused_gs4_sweep_packed_2d
+
+    side = 511  # M = 256: genuine column tiling with these tile picks
+    m, u4, b4 = _fields(side)
+    w33 = poisson_const_w33(side, 1)[0]
+    ref = gs4_sweep_packed(u4, b4, w33, m, 0.9, True)
+    got = fused_gs4_sweep_packed_2d(u4, b4, w33, m, 0.9, True,
+                                    tiles=tiles, pipeline=pipeline,
+                                    interpret=True)
+    sc = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / sc < 1e-5
+
+
+def test_2d_jaxpr_is_x64_clean():
+    import re
+
+    from amg_tpu.ops.pallas.packed_rbgs import fused_gs4_sweep_packed_2d
+
+    assert jax.config.jax_enable_x64
+    side = 511
+    m, u4, b4 = _fields(side)
+    w33 = poisson_const_w33(side, 1)[0]
+    txt = str(jax.make_jaxpr(
+        lambda u_, b_: fused_gs4_sweep_packed_2d(
+            u_, b_, w33, m, 1.0, True, tiles=(64, 128)))(u4, b4))
+    bad = [ln.strip()[:120] for ln in txt.splitlines()
+           if re.search(r"\b[iuf]64\[", ln)]
+    assert not bad, ("64-bit values in the 2-D packed kernel:\n"
+                     + "\n".join(bad[:8]))
