@@ -855,8 +855,28 @@ class StructuredSolver:
                                                      df_rss_fast)
                 from amg_tpu.sparse.packed import df_residual_const_packed
 
-                def residual(u4):
-                    return df_residual_const_packed(A64_w33, b4, u4, m_f)
+                # fused Pallas residual+rss (ops/pallas/packed_df.py):
+                # r.lo is consumed only by the rss, so the kernel writes
+                # r.hi + per-tile rss partials in ~5.5 field passes
+                # (vs ~8 unfused) — pow2 weights + real TPU only
+                use_dfk = False
+                if fused_packed and _mosaic_ok():
+                    from amg_tpu.ops.pallas import packed_df
+
+                    use_dfk = packed_df.eligible(m_f, A64_w33)
+
+                def residual_hi_rss(u4):
+                    if use_dfk:
+                        from amg_tpu.ops.pallas.packed_df import \
+                            fused_df_residual_rss
+
+                        rh, parts = fused_df_residual_rss(A64_w33, b4,
+                                                          u4, m_f)
+                        err = jnp.sum(
+                            parts[:, 0, 0].astype(jnp.float64))
+                        return rh, err
+                    r = df_residual_const_packed(A64_w33, b4, u4, m_f)
+                    return r.hi, df_rss_fast(r)
 
                 tol_eff = jnp.maximum(tol, rtol * df_rss_fast(b4))
 
@@ -866,8 +886,7 @@ class StructuredSolver:
 
                 def body(state):
                     u4, _, it = state
-                    r = residual(u4)
-                    err = df_rss_fast(r)
+                    r_hi, err = residual_hi_rss(u4)
 
                     # the loop-carried err lags one step, so the loop
                     # would run one full refinement past convergence;
@@ -875,7 +894,7 @@ class StructuredSolver:
                     # overshoot iteration then costs one residual
                     # instead of a whole refine (~13 ms at 4095^2)
                     def refine(u_in):
-                        e4 = cycles32_p(h, jnp.zeros_like(r.hi), r.hi)
+                        e4 = cycles32_p(h, jnp.zeros_like(r_hi), r_hi)
                         return df_add_f32(u_in, e4)
 
                     did = err > tol_eff
@@ -918,7 +937,7 @@ class StructuredSolver:
                 # rss(u_final) — recompute only on budget exhaustion
                 final_err = jax.lax.cond(
                     err_out <= tol_eff, lambda: err_out,
-                    lambda: df_rss_fast(residual(u4)))
+                    lambda: residual_hi_rss(u4)[1])
                 return u4, jnp.stack([final_err, it.astype(jnp.float64)])
 
             @jax.jit

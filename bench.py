@@ -185,6 +185,30 @@ def pallas_hardware_gate():
     except Exception as e:  # noqa: BLE001
         stats["packed_up"] = f"{type(e).__name__}: {str(e)[:200]}"
         failed.append(f"packed_up: {type(e).__name__}")
+    # fused df32 residual+rss kernel (ops/pallas/packed_df.py)
+    try:
+        from amg_tpu.ops.doublefloat import DF32, df_rss_fast
+        from amg_tpu.ops.pallas.packed_df import fused_df_residual_rss
+        from amg_tpu.sparse.packed import df_residual_const_packed
+
+        u_df = DF32(hi=u4, lo=u4 * jnp.float32(1e-8))
+        b_df = DF32(hi=b4, lo=b4 * jnp.float32(1e-8))
+        r_ref = jax.jit(lambda b, u: df_residual_const_packed(
+            S_p.w33, b, u, m))(b_df, u_df)
+        rss_ref = float(jax.jit(df_rss_fast)(r_ref))
+        rh, parts = jax.jit(lambda b, u: fused_df_residual_rss(
+            S_p.w33, b, u, m))(b_df, u_df)
+        sc = float(np.abs(np.asarray(r_ref.hi)).max())
+        md_r = float(np.abs(np.asarray(rh) - np.asarray(r_ref.hi)).max()
+                     ) / sc
+        rss_k = float(np.asarray(parts)[:, 0, 0].sum())
+        md_s = abs(rss_k - rss_ref) / rss_ref
+        stats["packed_dfres"] = max(md_r, md_s)
+        if stats["packed_dfres"] >= 1e-5:
+            failed.append(f"packed_dfres: WRONG {md_r:.1e}/{md_s:.1e}")
+    except Exception as e:  # noqa: BLE001
+        stats["packed_dfres"] = f"{type(e).__name__}: {str(e)[:200]}"
+        failed.append(f"packed_dfres: {type(e).__name__}")
     log(f"pallas hardware parity gate: {stats}")
     assert not failed, f"fused Pallas kernel gate FAILED: {failed}"
     return stats
