@@ -22,7 +22,8 @@ from amg_tpu.sparse.stencil import (Stencil2D, color_masks, gs4_sweep,
                                     gs4_sweep_masked, jacobi_sweep)
 
 
-INNER = 50  # amortize per-dispatch overhead (~1.4 ms through the tunnel)
+INNER = 2000  # amortize dispatch+fetch (~26 ms RT through the tunnel;
+# r4 lesson: 50 left every sub-ms kernel reading as the 0.5 ms floor)
 
 
 def loopit(step):
@@ -123,6 +124,90 @@ def main():
         except Exception as e:
             print(f"gs4 fused {kind}({tr},db={db}) FAILED: "
                   f"{type(e).__name__}: {str(e)[:200]}")
+
+    # fused PACKED kernels (r4 production path): parity-gated on this
+    # backend, then timed
+    from amg_tpu.ops.doublefloat import DF32, df_rss_fast
+    from amg_tpu.ops.pallas.packed_cycle import (fused_down_leg_packed,
+                                                 fused_up_leg_packed)
+    from amg_tpu.ops.pallas.packed_df import fused_df_residual_rss
+    from amg_tpu.ops.pallas.packed_rbgs import fused_gs4_sweep_packed
+    from amg_tpu.sparse.packed import (df_residual_const_packed,
+                                       prolong_add_packed, residual_packed,
+                                       restrict_packed)
+
+    u4p, b4p = pack(uc, m), pack(b2, m)
+    pref = np.asarray(jax.jit(lambda u, b: gs4_sweep_packed(
+        u, b, w33, m, 1.0, True))(u4p, b4p))
+    psc = float(np.abs(pref).max())
+    for pipe in ("sb", "db"):
+        try:
+            got = np.asarray(jax.jit(lambda u, b, pipe=pipe:
+                                     fused_gs4_sweep_packed(
+                                         u, b, w33, m, 1.0, True,
+                                         pipeline=pipe))(u4p, b4p))
+            rel = float(np.abs(got - pref).max()) / psc
+            assert rel < 1e-5, f"packed fused {pipe} WRONG rel={rel:.2e}"
+            t = timeit(loopit(lambda u, b_, pipe=pipe:
+                              fused_gs4_sweep_packed(u, b_, w33, m, 1.0,
+                                                     True, pipeline=pipe)),
+                       pack(u2, m), b4p)
+            print(f"gs4 fpacked {pipe}  {t*1e3:7.3f} ms   "
+                  f"{2*nnz/t/1e9:8.2f} Gnnz/s (sym)  parity={rel:.1e}")
+        except Exception as e:
+            print(f"gs4 fpacked {pipe} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:160]}")
+
+    try:
+        bc_ref = np.asarray(jax.jit(lambda u, b: restrict_packed(
+            residual_packed(u, b, w33, m), m))(jnp.asarray(pref), b4p))
+        u_got, bc_pad = jax.jit(lambda u, b: fused_down_leg_packed(
+            u, b, w33, m, 1.0, True))(u4p, b4p)
+        rel = max(float(np.abs(np.asarray(u_got) - pref).max()) / psc,
+                  float(np.abs(np.asarray(bc_pad)[:m, :m] - bc_ref).max())
+                  / float(np.abs(bc_ref).max()))
+        assert rel < 1e-5, f"down leg WRONG rel={rel:.2e}"
+        t = timeit(loopit(lambda u, b_: fused_down_leg_packed(
+            u, b_, w33, m, 1.0, True)[0]), pack(u2, m), b4p)
+        print(f"down leg       {t*1e3:7.3f} ms  (sweep+resid+restrict)  "
+              f"parity={rel:.1e}")
+        ucrs = jnp.zeros((m + 1, m + 1), dtype=dtype)
+        up_ref = np.asarray(jax.jit(lambda u, b, c: gs4_sweep_packed(
+            prolong_add_packed(u, c, m), b, w33, m, 1.0, True))(
+                u4p, b4p, ucrs[:m, :m]))
+        got = np.asarray(jax.jit(lambda u, b, c: fused_up_leg_packed(
+            u, b, c, w33, m, 1.0, True))(u4p, b4p, ucrs))
+        rel = float(np.abs(got - up_ref).max()) / psc
+        assert rel < 1e-5, f"up leg WRONG rel={rel:.2e}"
+        t = timeit(loopit(lambda u, b_, c_: fused_up_leg_packed(
+            u, b_, c_, w33, m, 1.0, True)), pack(u2, m), b4p, ucrs)
+        print(f"up leg         {t*1e3:7.3f} ms  (prolong+sweep)         "
+              f"parity={rel:.1e}")
+    except Exception as e:
+        print(f"leg kernels FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+    try:
+        u_df = DF32(hi=u4p, lo=u4p * jnp.float32(1e-8))
+        b_df = DF32(hi=b4p, lo=b4p * jnp.float32(1e-8))
+        r_ref = jax.jit(lambda b, u: df_residual_const_packed(
+            w33, b, u, m))(b_df, u_df)
+        rss_ref = float(jax.jit(df_rss_fast)(r_ref))
+        rh, parts = jax.jit(lambda b, u: fused_df_residual_rss(
+            w33, b, u, m))(b_df, u_df)
+        rel = max(
+            float(np.abs(np.asarray(rh) - np.asarray(r_ref.hi)).max())
+            / float(np.abs(np.asarray(r_ref.hi)).max()),
+            abs(float(np.asarray(parts)[:, 0, 0].sum()) - rss_ref)
+            / rss_ref)
+        assert rel < 1e-5, f"df residual WRONG rel={rel:.2e}"
+        t = timeit(loopit(lambda uh, b_: fused_df_residual_rss(
+            w33, b_, DF32(hi=uh, lo=uh * jnp.float32(1e-8)), m)[0]),
+            pack(u2, m), b_df)
+        print(f"df resid+rss   {t*1e3:7.3f} ms  (fused kernel)          "
+              f"parity={rel:.1e}")
+    except Exception as e:
+        print(f"df residual kernel FAILED: {type(e).__name__}: "
+              f"{str(e)[:160]}")
 
     # memory roofline reference: one full-field axpy
     t = timeit(loopit(lambda u: u + 1.0), u2)
