@@ -1065,8 +1065,14 @@ class StructuredSolver:
         err_v, it_v = np.asarray(stats)  # ONE host round trip
         error = float(err_v)
         iters = int(it_v) * self.cycles_per_refine
+        tol_eff = tolerance
+        if rtol > 0.0:
+            # mirror the device loop's effective tolerance
+            # max(tol, rtol * rss(b)); one extra reduce+fetch, rtol only
+            tol_eff = max(tolerance,
+                          rtol * float(jnp.sum(b2_f64 * b2_f64)))
         return SolveResult(u=u, iterations=iters, error=error,
-                           converged=error <= tolerance,
+                           converged=error <= tol_eff,
                            history=[(iters, error)])
 
     def solve_ir(self, b2_f64, tolerance: float = 1e-7,

@@ -193,3 +193,22 @@ def test_prepared_rhs_solve_matches_wrapper():
     np.testing.assert_array_equal(np.asarray(s.finalize_u(u4)),
                                   np.asarray(u_ref))
     np.testing.assert_array_equal(np.asarray(st), np.asarray(st_ref))
+
+
+def test_relative_tolerance_mode():
+    """rtol stops at err <= rtol * rss(b); absolute tol (reference
+    semantics, common.hpp:17-27) remains the default and the two compose
+    as max(tol, rtol * rss_b)."""
+    from amg_tpu.models import poisson
+    from amg_tpu.structured import StructuredSolver
+
+    side = 63
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    s = StructuredSolver(side)
+    rss_b = float(jnp.sum(b2 * b2))
+    r_abs = s.solve_ir_fused(b2, tolerance=1e-9)
+    r_rel = s.solve_ir_fused(b2, tolerance=1e-30, rtol=1e-12)
+    assert r_rel.converged and r_rel.error <= 1e-12 * rss_b
+    # a loose rtol must stop earlier than the tight absolute solve
+    r_loose = s.solve_ir_fused(b2, tolerance=1e-30, rtol=1e-9)
+    assert r_loose.iterations <= r_abs.iterations
