@@ -46,7 +46,7 @@ class StructuredConfig:
     omega: float = 1.0
     symmetric: bool = True
     refine_tolerance: float = 1e-9
-    cycles_per_refine: int = 2
+    cycles_per_refine: int = 3  # measured best r4 (fused residual kernel)
     # 'auto' (measured per-level selection — production default) |
     # 'packed' | 'masked' | 'fused' | 'chebyshev' | 'strided'
     smoother: str = "auto"

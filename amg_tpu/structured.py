@@ -642,8 +642,11 @@ class StructuredSolver:
         post_sweeps = _resolve("post_sweeps", post_sweeps, 1)
         omega = _resolve("omega", omega, 1.0)
         symmetric = _resolve("symmetric", symmetric, True)
+        # 3 f32 cycles per df32 refine measured best with the fused
+        # residual kernel (r4: 47.3 -> 42.4 ms at 4095^2; neutral at
+        # 1023/8191) — fewer residual+loop-overhead payments per solve
         cycles_per_refine = _resolve("cycles_per_refine",
-                                     cycles_per_refine, 2)
+                                     cycles_per_refine, 3)
         packed_min_side = _resolve("packed_min_side", packed_min_side,
                                    None)
 
