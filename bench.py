@@ -481,12 +481,17 @@ def pcg_stats():
 
 def _stage(fn, name):
     """Auxiliary stages must not kill the headline metric: report their
-    failure in extras instead (the driver needs the JSON line)."""
-    try:
-        return fn(), None
-    except Exception as e:  # noqa: BLE001 — reported, not swallowed
-        log(f"stage {name} FAILED: {type(e).__name__}: {e}")
-        return None, f"{type(e).__name__}: {str(e)[:300]}"
+    failure in extras instead (the driver needs the JSON line). One retry
+    absorbs transient tunnel faults ('response body closed' class)."""
+    last = None
+    for attempt in range(2):
+        try:
+            return fn(), None
+        except Exception as e:  # noqa: BLE001 — reported, not swallowed
+            last = e
+            log(f"stage {name} FAILED (attempt {attempt + 1}): "
+                f"{type(e).__name__}: {e}")
+    return None, f"{type(last).__name__}: {str(last)[:300]}"
 
 
 def main():
