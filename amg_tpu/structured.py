@@ -1004,8 +1004,12 @@ class StructuredSolver:
         A = self._A_df if self.precision == "df32" else self._A64
         return self._solve_loop_j(self.hier, A, b64, tol, n_refine, rtol)
 
-    def warmup(self):
-        """Compile all programs (first call is slow on a cold cache).
+    def warmup(self, refine_step: bool = False):
+        """Compile the solve-loop program (first call is slow on a cold
+        cache); ``refine_step=True`` additionally compiles the host-
+        stepped debug loop's program — skipped by default since the
+        production paths never run it and its compile costs ~half the
+        warmup (~35 s at 1023^2 through the tunnel).
 
         Syncs by FETCHING the small stats array, not block_until_ready:
         through a remote-TPU tunnel block_until_ready can return before
@@ -1013,8 +1017,9 @@ class StructuredSolver:
         "blocked" in 12 s left a 168 s compile for the first real solve);
         a host data fetch is the only true synchronization point."""
         z64 = jnp.zeros((self.side, self.side), dtype=jnp.float64)
-        _, err = self._refine_step(z64, z64)
-        np.asarray(err)
+        if refine_step:
+            _, err = self._refine_step(z64, z64)
+            np.asarray(err)
         _, stats = self._solve_loop(z64, 1e-7, 40)
         np.asarray(stats)
 
