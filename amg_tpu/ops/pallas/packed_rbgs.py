@@ -49,7 +49,6 @@ from amg_tpu.sparse.packed import COLORS, _neighbors
 
 G = 8                      # ghost rows per side (= 8 color steps)
 LANE = 128
-VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def eligible(m: int) -> bool:
