@@ -40,6 +40,9 @@ def __getattr__(name):
     if name == "solve_pcg_stencil":
         from amg_tpu.krylov import solve_pcg_stencil
         return solve_pcg_stencil
+    if name == "solve_pcg_device":
+        from amg_tpu.krylov import solve_pcg_device
+        return solve_pcg_device
     if name == "StructuredSolver":
         from amg_tpu.structured import StructuredSolver
         return StructuredSolver
