@@ -61,10 +61,13 @@ class MeshConfig:
     n_devices: int | None = None   # default: all local devices
     axis_name: str = "x"
     min_rows_per_device: int = 2   # agglomeration threshold
-    # structured path: 'overlap' (default) | 'sweep' | 'packed' | 'rdma'
-    # | 'step'; ELL path accepts 'step' | 'strips' (others fall back to
-    # its default). Consumed via the solvers' config= argument.
-    halo: str = "overlap"
-    # f32 V-cycles per df32 defect-correction step (honored by ALL three
-    # solvers; the ELL path hardcoded 2 until r4 — VERDICT r3 #8)
-    cycles_per_refine: int = 2
+    # structured path: None (auto by platform — 'overlap' on TPU ICI,
+    # 'step' on a CPU mesh, the measured winners; SCALING_r04) |
+    # 'overlap' | 'sweep' | 'packed' | 'rdma' | 'step'; ELL path accepts
+    # 'step' | 'strips' (others fall back to its default). Consumed via
+    # the solvers' config= argument.
+    halo: str | None = None
+    # f32 V-cycles per df32 defect-correction step (honored by all three
+    # solvers via the None-sentinel pattern; explicit constructor args
+    # win over the config)
+    cycles_per_refine: int | None = None

@@ -90,7 +90,11 @@ def solve_pcg_stencil(hier: StencilHierarchy, b2, tolerance: float = 1e-9,
                        converged=error <= tolerance, history=history)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+# tolerance is a TRACED operand (ADVICE r4 #2): marking it static
+# recompiled the whole while_loop program per distinct tolerance value
+# (~tens of seconds through the tunnel); only shape-affecting knobs stay
+# static.
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def _pcg_device(hier, b2, tolerance, n_iters, fused, min_side):
     from amg_tpu.structured import PACKED_MIN_SIDE
 
@@ -150,5 +154,5 @@ def solve_pcg_device(hier: StencilHierarchy, b2, tolerance: float = 1e-7,
     for reference-grade (<=1e-9) tolerances wrap it in defect correction
     (structured.StructuredSolver) instead.
     """
-    return _pcg_device(hier, b2, float(tolerance), n_iters, fused,
-                       min_side)
+    return _pcg_device(hier, b2, jnp.asarray(tolerance, dtype=b2.dtype),
+                       n_iters, fused, min_side)

@@ -224,6 +224,14 @@ def df_rss_fast(r_df: DF32, dtype=None):
     accuracy a tolerance comparison needs), and only the tiny per-row
     vector converts to f64. Use inside solve loops; keep df_rss for
     reported/parity numbers where every digit matters.
+
+    Magnitude floor (ADVICE r4 #4): the squares are PLAIN f32, so a
+    residual entry with |hi| below ~1e-19 underflows to a zero square —
+    a solve on a rhs scaled so the converged residual sits below that
+    floor would report rss = 0 and stop early where df_rss (software-f64
+    squares) would not. Poisson-class systems with O(1) forcing sit ~15
+    orders of magnitude above the floor; for tiny-scaled systems use
+    df_rss or rescale the rhs.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -463,6 +463,27 @@ def _df_residual_const(w33, b_df, u_df, side: int, B: int, D: int):
                 lo=jnp.where(keep, r.lo, 0.0))
 
 
+def _gs4_sweep_local_const(w33, u_loc, b_loc, side: int, B: int,
+                           omega: float, symmetric: bool, D: int):
+    """Constant-stencil analog of _gs4_sweep_local: one halo exchange per
+    color step (halo='step' mode), stencil weights from the static w33
+    instead of coefficient planes. Padding rows (global row >= side) act
+    as identity via _matvec_const, so their residual is zero and they
+    never update."""
+    _, n = u_loc.shape
+    row_par = jax.lax.broadcasted_iota(jnp.int32, u_loc.shape, 0) % 2
+    col_par = jax.lax.broadcasted_iota(jnp.int32, u_loc.shape, 1) % 2
+    inv_diag = 1.0 / w33[1][1]
+    order = list(_COLORS)
+    if symmetric:
+        order = order + order[::-1]
+    for pj, pi in order:
+        r = b_loc - _matvec_const(w33, u_loc, side, B, D)
+        mask = ((row_par == pj) & (col_par == pi)).astype(u_loc.dtype)
+        u_loc = u_loc + (omega * mask) * (r * inv_diag)
+    return u_loc
+
+
 def _gs4_sweep_local(c_loc, u_loc, b_loc, omega: float, symmetric: bool,
                      D: int):
     """Sharded four-color GS sweep as full-width masked updates (the
@@ -728,8 +749,12 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
                                             Gv)
             return u_ext[Gv:Gv + B]
         for _ in range(sweeps):
-            u = _gs4_sweep_local(sharded_coeffs[l], u, b, cfg.omega,
-                                 cfg.symmetric, D)
+            if w33 is not None:  # halo='step' on a constant level
+                u = _gs4_sweep_local_const(w33, u, b, cfg.sides[l], B,
+                                           cfg.omega, cfg.symmetric, D)
+            else:
+                u = _gs4_sweep_local(sharded_coeffs[l], u, b, cfg.omega,
+                                     cfg.symmetric, D)
         return u
 
     # sharded down-leg (multigrid.hpp:265-284 leg order)
@@ -767,6 +792,17 @@ def _vcycle_local(cfg: DistConfig, sharded_coeffs, sub_hier: StencilHierarchy,
                      + dev * B)
             r01 = jnp.where(row_g < cfg.sides[l], r01, 0.0)
             coarse_loc = _restrict_from_ext(r01, Bc, nc_real, nc_real, D)
+        elif w33 is not None:
+            # halo='step' on a constant level: per-color-step exchanges
+            # with the static weights (no coefficient planes exist)
+            B = cfg.blocks[l]
+            for _ in range(cfg.pre_sweeps):
+                us[l] = _gs4_sweep_local_const(w33, us[l], bs[l],
+                                               cfg.sides[l], B, cfg.omega,
+                                               cfg.symmetric, D)
+            r = bs[l] - _matvec_const(w33, us[l], cfg.sides[l], B, D)
+            # padding rows carry u = 0 and identity action, so r = 0 there
+            coarse_loc = _restrict_local(r, Bc, nc_real, nc_real, D)
         else:
             c = sharded_coeffs[l]
             for _ in range(cfg.pre_sweeps):
@@ -809,13 +845,30 @@ class DistStructuredSolver:
                  n_devices: int | None = None, dtype=jnp.float32,
                  pre_sweeps: int = 1, post_sweeps: int = 1,
                  omega: float = 1.0, symmetric: bool = True, A_fine=None,
-                 halo: str = "overlap", force_var: bool = False,
-                 cycles_per_refine: int = 2, config=None):
-        # config.MeshConfig centralizes the distribution knobs
+                 halo: str | None = None, force_var: bool = False,
+                 cycles_per_refine: int | None = None, config=None):
+        # config.MeshConfig centralizes the distribution knobs; None
+        # sentinels so a config never overrides an explicit argument
+        # (ADVICE r3 #2 pattern) and cycles_per_refine is honored here
+        # exactly like in EllDistSolver (ADVICE r4 #1)
         if config is not None:
             if n_devices is None:
                 n_devices = config.n_devices
-            halo = getattr(config, "halo", halo)
+            if halo is None:
+                halo = getattr(config, "halo", None)
+            if cycles_per_refine is None:
+                cycles_per_refine = getattr(config, "cycles_per_refine",
+                                            None)
+        if halo is None:
+            # platform-aware default (VERDICT r4 #6): on a CPU mesh
+            # ppermute is a memcpy and the ghost-strip extended compute
+            # dominates — 'step' measured fastest there (SCALING_r04:
+            # 44.6 ms vs 101.1 'overlap' at D=8); on TPU ICI collective
+            # count dominates (analytic 17 -> 2 collectives/level/cycle,
+            # docs/PERF.md) — 'overlap'.
+            halo = "overlap" if jax.default_backend() == "tpu" else "step"
+        if cycles_per_refine is None:
+            cycles_per_refine = 2
         if halo not in ("overlap", "sweep", "step", "rdma", "packed"):
             raise ValueError(f"unknown halo mode {halo!r}")
         cfg, coeffs, sub_hier = build_dist_hierarchy(

@@ -977,6 +977,23 @@ class StructuredSolver:
         self._cycles32 = jax.jit(cycles32)
         self._refine_step_j = refine_step
         self._residual_rss_j = residual_rss
+
+        # rtol base mirroring the ACTIVE device loop's own computation
+        # (ADVICE r4 #3): the loops threshold against df_rss_fast of the
+        # df32-split (packed) b, not an exact f64 sum — near the
+        # threshold the two can disagree, so solve_ir_fused's converged
+        # flag must use the identical value.
+        from amg_tpu.ops.doublefloat import DF32 as _DF32
+        from amg_tpu.ops.doublefloat import df_rss_fast as _df_rss_fast
+        if precision == "df32" and use_packed_loop:
+            self._rtol_base_j = jax.jit(
+                lambda b64: _df_rss_fast(prepare_b_j(b64)))
+        elif precision == "df32":
+            self._rtol_base_j = jax.jit(
+                lambda b64: _df_rss_fast(_DF32.from_f64(b64)))
+        else:
+            self._rtol_base_j = jax.jit(
+                lambda b64: rss_from_residual(b64))
         if precision == "df32":
             from amg_tpu.ops.doublefloat import DF32
 
@@ -1075,10 +1092,13 @@ class StructuredSolver:
         iters = int(it_v) * self.cycles_per_refine
         tol_eff = tolerance
         if rtol > 0.0:
-            # mirror the device loop's effective tolerance
-            # max(tol, rtol * rss(b)); one extra reduce+fetch, rtol only
+            # mirror the device loop's effective tolerance max(tol,
+            # rtol * rss(b)) using the SAME reduction the loop runs
+            # (df_rss_fast on the df32-split/packed b — an exact f64
+            # sum can disagree near the threshold, ADVICE r4 #3); one
+            # extra reduce+fetch, rtol only
             tol_eff = max(tolerance,
-                          rtol * float(jnp.sum(b2_f64 * b2_f64)))
+                          rtol * float(self._rtol_base_j(b2_f64)))
         return SolveResult(u=u, iterations=iters, error=error,
                            converged=error <= tol_eff,
                            history=[(iters, error)])
