@@ -928,6 +928,61 @@ class DistStructuredSolver:
             in_specs=(spec_coeffs[0], spec_field, spec_field),
             out_specs=P(), check_vma=chk))
 
+        # Distributed device-resident PCG (VERDICT r4 #4): the whole
+        # AMG-preconditioned CG iteration — SpMV, V-cycle preconditioner,
+        # both inner products, rss convergence test — runs inside ONE
+        # shard_map'd lax.while_loop; the inner products and the rss are
+        # lax.psum'd partials over the row shards (the distributed form
+        # promised at krylov.py:123-124). Works on const-stencil and
+        # variable-coefficient fine levels. Extends the reference's plain
+        # V-cycle outer loop (multigrid.hpp:311-337).
+        w0_ = cfg.w33s[0] if cfg.w33s else None
+        B0_ = cfg.blocks[0] if cfg.n_sharded else side
+        side0_ = cfg.sides[0]
+
+        def pcg_fn(coeffs_, sub_hier_, b_loc, tol, n_iters):
+            def A_neg(x):  # SPD (negated) operator on the slab
+                if w0_ is not None:
+                    return -_matvec_const(w0_, x, side0_, B0_,
+                                          cfg.n_devices)
+                return -_matvec_local(coeffs_[0], x, cfg.n_devices)
+
+            def precond(r):
+                # z = -(V-cycle from zero on r); linear in r, keeps M SPD
+                return -_vcycle_local(cfg, coeffs_, sub_hier_,
+                                      jnp.zeros_like(r), r)
+
+            def dot(a, b):
+                return lax.psum(jnp.sum(a * b), AXIS)
+
+            r0 = -b_loc
+            z0 = precond(r0)
+
+            def cond(s):
+                _, _, _, _, it, err = s
+                return (err > tol) & (it < n_iters)
+
+            def body(s):
+                u, r, z, p, it, _ = s
+                Ap = A_neg(p)
+                alpha = dot(r, z) / dot(p, Ap)
+                u = u + alpha * p
+                r_new = r - alpha * Ap
+                z_new = precond(r_new)
+                beta = dot(r_new, z_new) / dot(r, z)
+                p = z_new + beta * p
+                return (u, r_new, z_new, p, it + 1, dot(r_new, r_new))
+
+            init = (jnp.zeros_like(b_loc), r0, z0, z0,
+                    jnp.asarray(0, dtype=jnp.int32), dot(r0, r0))
+            u, r, z, p, it, err = lax.while_loop(cond, body, init)
+            return u, jnp.stack([err, it.astype(b_loc.dtype)])
+
+        self._pcg_device = jax.jit(jax.shard_map(
+            pcg_fn, mesh=self.mesh,
+            in_specs=(spec_coeffs, P(), spec_field, P(), P()),
+            out_specs=(spec_field, P()), check_vma=chk))
+
         # df32 defect-correction refine step (const fine level only): one
         # high-precision residual + rss, then cycles_per_refine f32
         # V-cycles on the residual, then u += e in df32. This is what lets
@@ -1046,6 +1101,25 @@ class DistStructuredSolver:
                 history.append((it, error))
         return SolveResult(u=self.unpad(u), iterations=it, error=error,
                            converged=error <= tolerance, history=history)
+
+    def solve_pcg(self, b2, tolerance: float = 1e-5,
+                  n_iters: int = 100) -> SolveResult:
+        """Distributed device-resident AMG-preconditioned CG: one
+        dispatch, convergence control on device, inner products psum'd
+        across the row shards (see pcg_fn above). Native-precision (the
+        solver dtype): for reference-grade 1e-9 rss use the df32 defect
+        correction (``solve_ir``/``solve_ir_fused``) — PCG here plays the
+        same f32-native role as krylov.solve_pcg_device on one chip."""
+        b_pad = self.pad_field(b2)
+        u, stats = self._pcg_device(
+            self.coeffs, self.sub_hier, b_pad,
+            jnp.asarray(tolerance, dtype=self.dtype),
+            jnp.asarray(n_iters, dtype=jnp.int32))
+        err_v, it_v = np.asarray(stats)
+        error, it = float(err_v), int(it_v)
+        return SolveResult(u=self.unpad(u), iterations=it, error=error,
+                           converged=error <= tolerance,
+                           history=[(it, error)])
 
     def _split_b(self, b2):
         b = jnp.asarray(b2)

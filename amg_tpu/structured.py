@@ -225,6 +225,70 @@ def build_stencil_hierarchy_device(side: int, n_levels: int | None = None,
                             smoother=smoother, lam_maxes=lam_maxes)
 
 
+def build_stencil_hierarchy_planes(c_fine, n_levels: int | None = None,
+                                   dtype=jnp.float32,
+                                   smoother: str = "masked"
+                                   ) -> StencilHierarchy:
+    """Build a VARIABLE-coefficient hierarchy fully ON DEVICE from fine
+    (3,3,n,n) stencil planes: the Galerkin RAP chain runs as the
+    closed-form device contraction (ops/rap.rap_stencil_planes — the
+    bilinear tensor-product transfer closes over 9-point stencils), the
+    coarsest dense LU is densified on device, and transfers come from
+    device iota. No host sparse assembly, no bulk host->device transfer —
+    the var analog of build_stencil_hierarchy_device, for at-scale
+    variable-coefficient problems (models/varcoef.py) where pushing the
+    ~600 MB coefficient planes through the tunnel is not an option.
+
+    Reference anchor: the ctor accepts any assembled A and Galerkin-
+    coarsens it (multigrid.hpp:151-244); here A arrives as planes.
+    """
+    side = int(c_fine.shape[-1])
+    if n_levels is None:
+        n_levels = max_levels_for_side(side)
+    sides = [side]
+    for _ in range(n_levels - 1):
+        n = sides[-1]
+        if (n - 1) % 2 or n < 3:
+            raise ValueError(f"cannot coarsen side {n}; use side = 2^k - 1")
+        sides.append((n - 1) // 2)
+
+    from amg_tpu.ops.rap import (interp1d_dense, planes_to_dense,
+                                 rap_stencil_planes)
+
+    @jax.jit
+    def _build(cf):
+        planes = [cf.astype(dtype)]
+        for _ in range(n_levels - 1):
+            planes.append(rap_stencil_planes(planes[-1]))
+        coarse = planes_to_dense(planes[-1])
+        lu, piv = jax.scipy.linalg.lu_factor(coarse)
+        P1s = tuple(interp1d_dense(sides[l], sides[l + 1], dtype)
+                    for l in range(n_levels - 1))
+        return tuple(planes), lu, piv, P1s
+
+    planes, lu, piv, P1s = _build(c_fine)
+    levels = tuple(Stencil2D(c=p, side=s, w33=None)
+                   for p, s in zip(planes, sides))
+    masks = (None,) * n_levels
+    padded = (None,) * n_levels
+    if smoother == "fused":
+        from amg_tpu.ops.pallas.rbgs import PaddedStencil
+
+        padded = tuple(
+            PaddedStencil.prepare(levels[l], dtype=dtype)
+            if sides[l] >= FUSED_MIN_SIDE else None
+            for l in range(n_levels))
+    lam_maxes = None
+    if smoother == "chebyshev":
+        from amg_tpu.sparse.stencil import estimate_lam_max
+
+        lam_maxes = tuple(float(estimate_lam_max(S)) for S in levels)
+    return StencilHierarchy(levels=levels, coarse_lu=lu, coarse_piv=piv,
+                            P1s=P1s, masks=masks, padded=padded,
+                            sides=tuple(sides), smoother=smoother,
+                            lam_maxes=lam_maxes)
+
+
 def _smooth(hier: StencilHierarchy, l: int, u2, b2, sweeps: int,
             omega: float, symmetric: bool):
     S = hier.levels[l]
@@ -620,7 +684,8 @@ class StructuredSolver:
                  post_sweeps: int | None = None, omega: float | None = None,
                  symmetric: bool | None = None,
                  cycles_per_refine: int | None = None,
-                 A_fine=None, device_setup: bool | None = None,
+                 A_fine=None, A_planes=None,
+                 device_setup: bool | None = None,
                  fmg: bool = True, precision: str = "df32", config=None,
                  packed_min_side: int | None = None):
         from amg_tpu.ops.rap import poisson_planes
@@ -661,7 +726,7 @@ class StructuredSolver:
         # Explicit smoother names remain as overrides.
         fused_packed = False
         if smoother == "auto":
-            if A_fine is not None:
+            if A_fine is not None or A_planes is not None:
                 smoother = ("fused" if side >= FUSED_MIN_SIDE else "packed")
             else:
                 smoother = "packed"
@@ -674,7 +739,17 @@ class StructuredSolver:
             device_setup = (A_fine is None
                             and smoother in ("masked", "chebyshev",
                                              "fused", "packed"))
-        if device_setup and A_fine is None:
+        if A_planes is not None:
+            # variable-coefficient fine operator supplied as DEVICE
+            # (3,3,n,n) planes: on-device Galerkin chain (no host
+            # assembly, no bulk tunnel transfer — models/varcoef.py)
+            if A_fine is not None:
+                raise ValueError("pass A_fine or A_planes, not both")
+            self.hier = build_stencil_hierarchy_planes(
+                A_planes, n_levels, smoother=smoother)
+            A64 = Stencil2D(c=jnp.asarray(A_planes, dtype=jnp.float64),
+                            side=side, w33=None)
+        elif device_setup and A_fine is None:
             self.hier = build_stencil_hierarchy_device(side, n_levels,
                                                        smoother=smoother)
             from amg_tpu.ops.rap import poisson_const_w33

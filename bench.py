@@ -287,21 +287,21 @@ def sweep_sol_stats():
 
         # analytic 5-point count (S.nnz would pull all 9 planes to host)
         nnz = 5 * side * side - 4 * side
-        # nominal unfused traffic: 8 color steps x (read u, b; write u);
-        # >100% proves XLA fused the color steps below nominal traffic.
         # min3 is the unbeatable bound (read u, read b, write u once).
-        sol_s = bytes_24pass / (roof.hbm_gbps * 1e9)
         min3_s = 3 * side * side * 4 / (roof.hbm_gbps * 1e9)
         # keys carry the smoother name (ADVICE r3 #3): masked_/packed_/
-        # fused_packed_ — round-over-round artifacts stay comparable
+        # fused_packed_ — round-over-round artifacts stay comparable.
+        # (The nominal-24-pass 'packed_sol_pct' key was dropped in r5 —
+        # a >100% "percent of speed of light" read as an artifact
+        # landmine, VERDICT r4 weak #4; min3 keys are the meaningful
+        # bound.)
         out[side] = dict(masked_sweep_ms=round(best * 1e3, 4),
                          packed_sweep_ms=round(bestp * 1e3, 4),
                          fused_packed_sweep_ms=round(bestf * 1e3, 4),
                          packed_gnnz_s=round(2 * nnz / bestp / 1e9, 2),
                          fused_gnnz_s=round(2 * nnz / bestf / 1e9, 2),
                          packed_min3_sol_pct=round(100 * min3_s / bestp, 1),
-                         fused_min3_sol_pct=round(100 * min3_s / bestf, 1),
-                         packed_sol_pct=round(100 * sol_s / bestp, 1))
+                         fused_min3_sol_pct=round(100 * min3_s / bestf, 1))
         log(f"sweep@{side}: masked {best*1e3:.4f} ms, "
             f"packed {bestp*1e3:.4f} ms, "
             f"fused-packed {bestf*1e3:.4f} ms, "
@@ -310,47 +310,132 @@ def sweep_sol_stats():
     return out
 
 
-def tpu_solve():
+def device_time(solver, b2, k1: int = 1, k2: int = 4, reps: int = 3):
+    """Dispatch-amortized device seconds per solve (VERDICT r4 weak #1).
+
+    Times two queued-batch sizes k1 < k2 — each batch fetches ONLY its
+    last stats array, so queued programs execute back-to-back and every
+    batch pays exactly one tunnel round trip: t_k = k*exec + RT, so
+    exec = (t_k2 - t_k1)/(k2 - k1). The r4 single-pair estimator was
+    poisoned by one noisy t_1 (recorded device_s > wall at 4095^2);
+    median of ``reps`` slopes + the caller clamps to wall.
+    """
+    slopes = []
+    for _ in range(reps):
+        ts = []
+        for k in (k1, k2):
+            t0 = time.perf_counter()
+            st = [solver.solve_ir_device(b2, tolerance=TOL)[1]
+                  for _ in range(k)]
+            np.asarray(st[-1])
+            ts.append(time.perf_counter() - t0)
+        slopes.append((ts[1] - ts[0]) / (k2 - k1))
+    med = float(np.median(slopes))
+    log(f"  device_time slopes: {[f'{s:.4f}' for s in slopes]} "
+        f"-> median {med:.4f}")
+    return max(0.0, med)
+
+
+def tpu_solve_at(side, n_runs=3):
+    """Device-resident solve timings at one size. Fully device-resident:
+    RHS generation, setup, and the solve loop move no bulk data over the
+    tunnel; stats fetch inside the timed region (true sync). Production
+    smoother: 'auto'. Returns a dict with wall/device/prepared seconds
+    plus the setup/warmup (compile) accounting VERDICT r4 #2 asked for."""
     from amg_tpu.models import poisson
     from amg_tpu.structured import StructuredSolver
 
-    # built on device: bulk host->device pushes (8 MB here, 134 MB at
-    # 4095^2) hang outright through a degraded tunnel
-    b2 = poisson.rhs_device(SIDE, dtype=jnp.float64).reshape(SIDE, SIDE)
-    log(f"building f32 hierarchy side={SIDE} ...")
+    b2 = poisson.rhs_device(side, dtype=jnp.float64).reshape(side, side)
     t0 = time.perf_counter()
-    solver = StructuredSolver(SIDE)
-    log(f"setup {time.perf_counter()-t0:.1f}s; levels="
-        f"{list(solver.hier.sides)}")
-
+    solver = StructuredSolver(side)
+    setup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     solver.warmup()
-    log(f"warmup (compile): {time.perf_counter()-t0:.1f}s")
-    res = solver.solve_ir_fused(b2, tolerance=TOL)
-    log(f"first solve: iters={res.iterations}, rss={res.error:.3e}, "
-        f"conv={res.converged}")
-    assert res.converged, "TPU solve did not converge"
-
-    # Timed region: the one-dispatch device solve (convergence control is
-    # the on-device while_loop) INCLUDING the packed stats fetch — the
-    # fetch is the only reliable sync through the tunnel
-    # (block_until_ready can return before execution completes).
+    warmup_s = time.perf_counter() - t0
+    log(f"{side}^2: setup {setup_s:.1f}s, warmup (trace+compile/cache-"
+        f"load) {warmup_s:.1f}s")
     times = []
-    for _ in range(5):
+    for _ in range(n_runs):
+        t0 = time.perf_counter()
+        u, stats = solver.solve_ir_device(b2, tolerance=TOL)
+        err_v, it_v = np.asarray(stats)
+        times.append(time.perf_counter() - t0)
+    assert err_v <= TOL, f"{side}^2 solve did not converge (rss={err_v:.3e})"
+    t = min(times)
+    dev = device_time(solver, b2)
+    if dev > t:
+        log(f"  WARNING: device estimate {dev:.4f} > wall {t:.4f}; "
+            "clamping (consistency invariant)")
+        dev = t
+    # repeated-solve production form: rhs prepared once (like the
+    # hierarchy), iterate returned packed — the per-solve cost with the
+    # f64<->df32 conversions amortized away
+    tprep = None
+    if solver._solve_core_j is not None:
+        bp = solver.prepare_b(b2)
+        np.asarray(solver.solve_ir_device_prepared(bp, tolerance=TOL)[1])
+        tp = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            u4, stats = solver.solve_ir_device_prepared(bp, tolerance=TOL)
+            np.asarray(stats)
+            tp.append(time.perf_counter() - t0)
+        tprep = min(tp)
+    log(f"tpu {side}^2 solve best-of-{n_runs}: {t:.4f}s wall, "
+        f"{dev:.4f}s device"
+        + (f", {tprep:.4f}s prepared-rhs" if tprep else "")
+        + f" ({int(it_v) * solver.cycles_per_refine} cycles, "
+        f"rss={err_v:.3e}, smoother={solver.smoother}"
+        f"+fused={solver.fused_packed})")
+    out = dict(wall_s=round(t, 5), device_s=round(dev, 5),
+               setup_s=round(setup_s, 2), warmup_s=round(warmup_s, 2),
+               cycles=int(it_v) * solver.cycles_per_refine,
+               rss=float(err_v))
+    if tprep is not None:
+        out["prepared_s"] = round(tprep, 5)
+    return out
+
+
+def var_solve_at(side, n_runs=3, a_in=100.0):
+    """End-to-end VARIABLE-coefficient solve (VERDICT r4 #3): jump
+    diffusion coefficient (a = 100 in the centered square, harmonic-mean
+    faces; models/varcoef.py), hierarchy Galerkin-coarsened ON DEVICE
+    (structured.build_stencil_hierarchy_planes), solved with the
+    auto-selected var path (packed-var below FUSED_MIN_SIDE, fused masked
+    kernel above — the e2e-measured winners, r5). Anchor: the reference
+    solves any assembled A (multigrid.hpp:151-244)."""
+    from amg_tpu.models import poisson
+    from amg_tpu.models.varcoef import jump_planes
+    from amg_tpu.structured import StructuredSolver
+
+    b2 = poisson.rhs_device(side, dtype=jnp.float64).reshape(side, side)
+    t0 = time.perf_counter()
+    solver = StructuredSolver(side, A_planes=jump_planes(side, a_in=a_in))
+    setup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    u, stats = solver.solve_ir_device(b2, tolerance=TOL)
+    err_v, it_v = np.asarray(stats)
+    warmup_s = time.perf_counter() - t0
+    assert err_v <= TOL, f"var {side}^2 rss={err_v:.3e}"
+    times = []
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         u, stats = solver.solve_ir_device(b2, tolerance=TOL)
         err_v, it_v = np.asarray(stats)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    assert err_v <= TOL, "timed solve did not converge"
-    dev = device_time(solver, b2, t)
-    log(f"tpu solve best-of-5: {t:.4f}s wall, {dev:.4f}s device "
-        f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e})")
-    return t, dev, res
+    dev = min(device_time(solver, b2), t)
+    log(f"tpu VAR(jump a={a_in:g}) {side}^2 best-of-{n_runs}: {t:.4f}s "
+        f"wall, {dev:.4f}s device ({int(it_v) * solver.cycles_per_refine} "
+        f"cycles, rss={err_v:.3e}, smoother={solver.smoother})")
+    return dict(wall_s=round(t, 5), device_s=round(dev, 5),
+                setup_s=round(setup_s, 2), warmup_s=round(warmup_s, 2),
+                cycles=int(it_v) * solver.cycles_per_refine,
+                rss=float(err_v), smoother=solver.smoother)
 
 
-def cpu_baseline():
-    # (min of 3 runs for a stable single-thread number)
+def cpu_baseline(side=SIDE, n_runs=3):
+    # (min of n_runs for a stable single-thread number)
     import scipy.sparse as sp
 
     from amg_tpu.models import poisson
@@ -362,86 +447,30 @@ def cpu_baseline():
         log("native baseline unavailable; using stored constant")
         return None
 
-    n_levels = max_levels_for_side(SIDE)
-    mats = [poisson.laplacian_scipy(SIDE)]
+    n_levels = max_levels_for_side(side)
+    mats = [poisson.laplacian_scipy(side)]
     Ps, Rs = [], []
-    side = SIDE
+    s = side
     t0 = time.perf_counter()
     for _ in range(n_levels - 1):
-        nc = (side - 1) // 2
-        P1 = linear_interp_1d(side, nc)
+        nc = (s - 1) // 2
+        P1 = linear_interp_1d(s, nc)
         P2 = sp.kron(P1, P1).tocsr()
         Ps.append(P2)
         Rs.append(P2.T.tocsr())
         mats.append(bindings.galerkin_rap(Rs[-1], mats[-1], P2))
-        side = nc
-    log(f"cpu setup {time.perf_counter()-t0:.1f}s")
-    b = np.asarray(poisson.rhs(SIDE, dtype=jnp.float64))
+        s = nc
+    log(f"cpu setup {time.perf_counter()-t0:.1f}s (side {side})")
+    b = np.asarray(poisson.rhs(side, dtype=jnp.float64))
     runs = [bindings.cpu_vcycle_solve(mats, Ps, Rs, b, tol=TOL,
                                       check_every=1, max_iters=100)
-            for _ in range(3)]
+            for _ in range(n_runs)]
     secs, iters, rss, u = min(runs, key=lambda r: r[0])
-    log(f"cpu reference-class solve best-of-3: {secs:.3f}s ({iters} "
-        f"cycles, rss={rss:.3e})")
+    log(f"cpu reference-class solve side={side} best-of-{n_runs}: "
+        f"{secs:.3f}s ({iters} cycles, rss={rss:.3e})")
     if rss > TOL:
         log("WARNING: cpu baseline did not converge")
     return secs
-
-
-def device_time(solver, b2, t1, runs=3):
-    """Dispatch-amortized device seconds per solve (VERDICT r3 #4): queue
-    ``runs`` solves and fetch ONE final stats array — queued programs
-    execute in order, so the single fetch syncs them all and both timings
-    pay exactly one tunnel round trip: t_k = k*exec + RT, so
-    exec = (t_k - t_1)/(k-1)."""
-    t0 = time.perf_counter()
-    stats = [solver.solve_ir_device(b2, tolerance=TOL)[1]
-             for _ in range(runs)]
-    np.asarray(stats[-1])
-    tk = time.perf_counter() - t0
-    return max(0.0, (tk - t1) / (runs - 1))
-
-
-def tpu_solve_at(side, n_runs=3):
-    """Secondary headline: solve wall-clock at a larger size (2047^2 =
-    4.19M dofs ... 8191^2 = 67M). Fully device-resident: RHS generation,
-    setup, and the solve loop move no bulk data over the tunnel. Stats
-    fetch inside the timed region (true sync). Production smoother:
-    'auto' — color-packed pipeline with the fused packed Pallas sweep on
-    eligible levels (ops/pallas/packed_rbgs.py; fastest at every size,
-    r4 scan)."""
-    from amg_tpu.models import poisson
-    from amg_tpu.structured import StructuredSolver
-
-    b2 = poisson.rhs_device(side, dtype=jnp.float64).reshape(side, side)
-    solver = StructuredSolver(side)
-    solver.warmup()
-    times = []
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        u, stats = solver.solve_ir_device(b2, tolerance=TOL)
-        err_v, it_v = np.asarray(stats)
-        times.append(time.perf_counter() - t0)
-    assert err_v <= TOL, f"{side}^2 solve did not converge (rss={err_v:.3e})"
-    t = min(times)
-    dev = device_time(solver, b2, t)
-    # repeated-solve production form: rhs prepared once (like the
-    # hierarchy), iterate returned packed — the per-solve cost with the
-    # f64<->df32 conversions amortized away
-    bp = solver.prepare_b(b2)
-    np.asarray(solver.solve_ir_device_prepared(bp, tolerance=TOL)[1])
-    tp = []
-    for _ in range(n_runs):
-        t0 = time.perf_counter()
-        u4, stats = solver.solve_ir_device_prepared(bp, tolerance=TOL)
-        np.asarray(stats)
-        tp.append(time.perf_counter() - t0)
-    tprep = min(tp)
-    log(f"tpu {side}^2 solve best-of-{n_runs}: {t:.4f}s wall, "
-        f"{dev:.4f}s device, {tprep:.4f}s prepared-rhs "
-        f"({int(it_v) * solver.cycles_per_refine} cycles, rss={err_v:.3e}, "
-        f"smoother={solver.smoother}+fused={solver.fused_packed})")
-    return t, dev, tprep
 
 
 def pcg_stats():
@@ -499,46 +528,83 @@ def main():
     def budget_left():
         return _WATCHDOG_S - (time.perf_counter() - _START)
 
-    gate, gate_err = _stage(pallas_hardware_gate, "pallas_gate")
-    sol, sol_err = _stage(sweep_sol_stats, "sweep_sol")
+    stage_s = {}
+
+    def run_stage(name, fn, need=0):
+        """Budget-gated stage. Stage ORDER (r5, VERDICT r4 #2): cheap/
+        high-value stages (PCG, var) run BEFORE the big 8191^2 compile so
+        a tight budget starves the most expensive stage, not the newest
+        ones; per-stage wall seconds are recorded in extras."""
+        if need and budget_left() < need:
+            log(f"stage {name}: skipped (budget {budget_left():.0f}s "
+                f"< {need}s)")
+            return None, f"skipped (budget {budget_left():.0f}s)"
+        t0 = time.perf_counter()
+        r, err = _stage(fn, name)
+        stage_s[name] = round(time.perf_counter() - t0, 1)
+        return r, err
+
+    gate, gate_err = run_stage("pallas_gate", pallas_hardware_gate)
     # the headline — failures here are fatal
-    tpu_secs, dev_secs, res = tpu_solve()
-    r2047, t2047_err = _stage(lambda: tpu_solve_at(2047), "solve_2047")
-    # 16.8M-dof stage only if enough watchdog budget remains for its
-    # compiles (skipping beats tripping the watchdog and losing the line)
-    if budget_left() > 150:
-        r4095, t4095_err = _stage(lambda: tpu_solve_at(4095, n_runs=2),
-                                  "solve_4095")
-    else:
-        r4095, t4095_err = None, f"skipped (budget {budget_left():.0f}s)"
-    # 67.1M-dof stage (plane-free const hierarchy; fits HBM since the
-    # r3 memory work) — needs the biggest compile budget, so gated harder
-    if budget_left() > 220:
-        r8191, t8191_err = _stage(lambda: tpu_solve_at(8191, n_runs=2),
-                                  "solve_8191")
-    else:
-        r8191, t8191_err = None, f"skipped (budget {budget_left():.0f}s)"
-    if budget_left() > 120:
-        pcg, pcg_err = _stage(pcg_stats, "pcg")
-    else:
-        pcg, pcg_err = None, f"skipped (budget {budget_left():.0f}s)"
-    cpu_secs, _ = _stage(cpu_baseline, "cpu_baseline")
+    r1023 = tpu_solve_at(SIDE, n_runs=5)
+    tpu_secs = r1023["wall_s"]
+    r2047, e2047 = run_stage("solve_2047", lambda: tpu_solve_at(2047),
+                             need=45)
+    pcg, pcg_err = run_stage("pcg", pcg_stats, need=55)
+    r4095, e4095 = run_stage("solve_4095",
+                             lambda: tpu_solve_at(4095), need=65)
+    var2047, ev2047 = run_stage("var_2047", lambda: var_solve_at(2047),
+                                need=75)
+    r8191, e8191 = run_stage("solve_8191",
+                             lambda: tpu_solve_at(8191, n_runs=2),
+                             need=110)
+    var4095, ev4095 = run_stage("var_4095",
+                                lambda: var_solve_at(4095, n_runs=2),
+                                need=90)
+    sol, sol_err = run_stage("sweep_sol", sweep_sol_stats, need=45)
+    cpu_secs, _ = run_stage("cpu_baseline", cpu_baseline, need=20)
+    # compute-dominated second metric row (VERDICT r4 #7): the 1023^2
+    # wall is ~80% one tunnel round trip; the 4095^2 prepared-rhs row
+    # reflects the chip
+    cpu4095 = None
+    if r4095 is not None:
+        cpu4095, _ = run_stage("cpu_baseline_4095",
+                               lambda: cpu_baseline(4095, n_runs=1),
+                               need=40)
     vs = (cpu_secs / tpu_secs) if cpu_secs else float("nan")
     extras = {}
-    extras["device_s"] = round(dev_secs, 5)
-    for key, r, err in (("solve_2047", r2047, t2047_err),
-                        ("solve_4095", r4095, t4095_err),
-                        ("solve_8191", r8191, t8191_err)):
+    extras["device_s"] = r1023["device_s"]
+    extras["solve_1023"] = r1023
+    for key, r, err in (("solve_2047", r2047, e2047),
+                        ("solve_4095", r4095, e4095),
+                        ("solve_8191", r8191, e8191)):
         if r is not None:
-            extras[f"{key}_s"] = round(r[0], 5)
-            extras[f"{key}_device_s"] = round(r[1], 5)
-            extras[f"{key}_prepared_s"] = round(r[2], 5)
+            extras[f"{key}_s"] = r["wall_s"]
+            extras[f"{key}_device_s"] = r["device_s"]
+            if "prepared_s" in r:
+                extras[f"{key}_prepared_s"] = r["prepared_s"]
+            extras[f"{key}_warmup_s"] = r["warmup_s"]
+            extras[f"{key}_setup_s"] = r["setup_s"]
         else:
             extras[f"{key}_s"] = err
+    if r4095 is not None and cpu4095:
+        extras["metric_4095"] = {
+            "metric": "poisson2d_4095x4095_amg_solve_rss1e-7_prepared",
+            "value": r4095.get("prepared_s", r4095["wall_s"]),
+            "unit": "s",
+            "vs_baseline": round(
+                cpu4095 / r4095.get("prepared_s", r4095["wall_s"]), 2),
+            "cpu_baseline_s": round(cpu4095, 3),
+        }
+    extras["var_solve"] = {
+        "2047": var2047 if var2047 is not None else ev2047,
+        "4095": var4095 if var4095 is not None else ev4095,
+    }
     extras["sweep_sol"] = sol if sol is not None else sol_err
     extras["pcg"] = pcg if pcg is not None else pcg_err
     # full per-variant map (floats = maxdiff, strings = failure)
     extras["pallas_hw_parity"] = gate if gate else gate_err
+    extras["stage_seconds"] = stage_s
     print(json.dumps({
         "metric": f"poisson2d_{SIDE}x{SIDE}_amg_solve_rss1e-7_wall",
         "value": round(tpu_secs, 5),

@@ -289,3 +289,45 @@ def test_dist_var_ghost_solve_converges():
                              halo="sweep", force_var=True)
     res = s.solve(b2, tolerance=1e-9)
     assert res.converged and res.error <= 1e-9
+
+
+def test_dist_pcg_matches_single_device():
+    """Distributed device-resident PCG (psum'd inner products,
+    preconditioned by the shard_map V-cycle) reproduces the single-device
+    PCG: same iteration count, same iterates to fp-reassociation
+    tolerance (VERDICT r4 #4 equivalence contract)."""
+    from amg_tpu.krylov import solve_pcg_stencil
+
+    side = 31
+    solver = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res_d = solver.solve_pcg(b2, tolerance=1e-9, n_iters=50)
+    hier = build_stencil_hierarchy(side, n_levels=len(solver.cfg.sides),
+                                   dtype=jnp.float64)
+    res_s = solve_pcg_stencil(hier, b2, tolerance=1e-9, n_iters=50)
+    assert res_d.converged and res_s.converged
+    assert res_d.iterations == res_s.iterations, (
+        f"dist {res_d.iterations} vs single {res_s.iterations}")
+    scale = float(np.abs(np.asarray(res_s.u)).max())
+    np.testing.assert_allclose(np.asarray(res_d.u), np.asarray(res_s.u),
+                               rtol=0, atol=1e-10 * scale)
+
+
+def test_dist_pcg_var_coefficient_converges():
+    """PCG over the variable-coefficient (force_var) distributed path:
+    plane-based matvec + var ghost-strip preconditioner."""
+    side = 31
+    solver = DistStructuredSolver(side, n_devices=4, dtype=jnp.float64,
+                                  force_var=True)
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res = solver.solve_pcg(b2, tolerance=1e-9, n_iters=50)
+    assert res.converged, f"rss={res.error:.3e}"
+
+
+def test_dist_pcg_step_halo_converges():
+    side = 31
+    solver = DistStructuredSolver(side, n_devices=8, dtype=jnp.float64,
+                                  halo="step")
+    b2 = poisson.rhs(side, dtype=jnp.float64).reshape(side, side)
+    res = solver.solve_pcg(b2, tolerance=1e-9, n_iters=50)
+    assert res.converged, f"rss={res.error:.3e}"

@@ -21,7 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("nproc", [2])
+@pytest.mark.parametrize("nproc", [2, 4])
 def test_multiprocess_dist_solve(nproc):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
