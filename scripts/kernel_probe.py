@@ -262,27 +262,39 @@ def main():
         t_dma = bench_pair("dma-only (db)",
                            lambda u, b: dma_only(u, b, m, tg),
                            ghosted_in + out_b)
-        # compute-only: slope between repeat=1 and repeat=5 on ONE tile
-        for rolls in (True, False):
-            def mk(rep):
-                return lambda u, b: jnp.sum(
-                    compute_only(u, b, m, tg, w33, rep, rolls))
+        # compute-only per-tile cost: amortize the tunnel RT with an
+        # OUTER fori_loop slope (k=4 vs 16 calls), then difference the
+        # in-kernel repeat counts (16 vs 0) to cancel the per-call DMA.
+        def per_call(rep, rolls):
+            @partial(jax.jit, static_argnums=(2, 3, 4))
+            def run(u, b, kk, rep_, rolls_):
+                def body(_, uu):
+                    o = compute_only(uu, b, m, tg, w33, rep_, rolls_)
+                    return uu.at[:, :tg, :].set(o)
+                o = jax.lax.fori_loop(0, kk, body, u)
+                return jnp.sum(o)
 
-            @partial(jax.jit, static_argnums=(2,))
-            def run(u, b, rep):
-                return mk(rep)(u, b)
-
-            float(run(u4, b4, 1)); float(run(u4, b4, 5))
+            k1, k2 = 4, 16
+            float(run(u4, b4, k1, rep, rolls))
+            float(run(u4, b4, k2, rep, rolls))
             best = 1e9
             for _ in range(3):
-                t0 = time.perf_counter(); float(run(u4, b4, 1))
+                t0 = time.perf_counter()
+                float(run(u4, b4, k1, rep, rolls))
                 ta = time.perf_counter() - t0
-                t0 = time.perf_counter(); float(run(u4, b4, 5))
+                t0 = time.perf_counter()
+                float(run(u4, b4, k2, rep, rolls))
                 tb = time.perf_counter() - t0
-                best = min(best, (tb - ta) / 4)
+                best = min(best, (tb - ta) / (k2 - k1))
+            return best
+
+        for rolls in (True, False):
+            t0c = per_call(0, rolls)
+            t16 = per_call(16, rolls)
+            per_sweep = (t16 - t0c) / 16
             name = "compute/tile " + ("(rolls)" if rolls else "(no rolls)")
-            print(f"  {name:<28s} {best*1e3:8.4f} ms/tile-sweep -> "
-                  f"x{nt} tiles = {best*nt*1e3:8.4f} ms")
+            print(f"  {name:<28s} {per_sweep*1e6:8.2f} us/tile-sweep -> "
+                  f"x{nt} tiles = {per_sweep*nt*1e3:8.4f} ms/sweep")
 
 
 if __name__ == "__main__":
