@@ -220,6 +220,127 @@ def fused_down_leg_packed(u4, b4, w33, m: int, omega: float = 1.0,
 
 
 # ---------------------------------------------------------------------------
+# residual + restrict (no fused sweep): the M >= 4096 down-leg fallback.
+#
+# At side 8191 the full down leg is VMEM-ineligible (G2 = 16 ghost rows x
+# 21 live blocks exceed the ~11.5 MB envelope at every tile size), and the
+# XLA packed ops COLLAPSE at that size (measured r5: residual_packed
+# 176 GB/s, restrict+prolong 115, sweep 92 — vs ~550 achievable). With no
+# color steps the ghost need is only 1 row (residual) + 1 (restriction),
+# so G = 8 (the sublane-alignment minimum) suffices and the residual
+# accumulates quarter-by-quarter straight into the coarse tile, keeping
+# the live set small enough for tg = 32 row tiles.
+
+
+def pick_tile_rows_rr(M: int, itemsize: int = 4) -> int | None:
+    # Us + Bs scratch (8 blocks of (W, M)) + ~4 live temporaries + Bc
+    blocks = 13
+    field = 4 * M * M * itemsize
+    reserve = 3 * field if field <= 6 * 1024 * 1024 else 0
+    budget = min(VMEM_EFF, int(15.5 * 1024 * 1024) - reserve)
+    for tg in (256, 128, 64, 32, 16, 8):
+        if M % tg:
+            continue
+        if blocks * (tg + 2 * G) * M * itemsize <= budget:
+            return tg
+    return None
+
+
+def _rr_kernel(b_hbm, u_hbm, bc_hbm, Bs, Us, Bc, sems, *, tg: int, m: int,
+               w33, n_tiles: int):
+    t = pl.program_id(0)
+    Mp = u_hbm.shape[1]
+    M = Mp
+    i32 = jnp.int32
+
+    if n_tiles == 1:
+        d_b = _dma_in(b_hbm, Bs, sems.at[np.int32(0)], t, n_tiles, tg, Mp)
+        d_u = _dma_in(u_hbm, Us, sems.at[np.int32(1)], t, n_tiles, tg, Mp)
+        d_b.wait()
+        d_u.wait()
+    else:
+        _dma_in(b_hbm, Bs, sems.at[np.int32(0)], t, n_tiles, tg, Mp)
+        _dma_in(u_hbm, Us, sems.at[np.int32(1)], t, n_tiles, tg, Mp)
+        _dma_in_wait(b_hbm, Bs, sems.at[np.int32(0)], t, n_tiles, tg)
+        _dma_in_wait(u_hbm, Us, sems.at[np.int32(1)], t, n_tiles, tg)
+
+    row0 = t * tg - np.int32(G)
+    r00, r01, r10, r11 = _residual_quarters(Bs, Us, w33, m, row0)
+
+    def rows(x, off):
+        return jax.lax.slice(x, (G + off, 0), (G + off + tg, M))
+
+    def colp1(x):
+        return _roll2(x, 0, 1)
+
+    c = rows(r11, 0)
+    c = c + 0.5 * (rows(r01, 0) + rows(r01, 1)
+                   + rows(r10, 0) + rows(colp1(r10), 0))
+    c = c + 0.25 * (rows(r00, 0) + rows(colp1(r00), 0)
+                    + rows(r00, 1) + rows(colp1(r00), 1))
+    Jc = (jax.lax.broadcasted_iota(i32, (tg, M), 0)
+          + jnp.asarray(t * tg, dtype=i32))
+    Ic = jax.lax.broadcasted_iota(i32, (tg, M), 1)
+    Bc[:] = jnp.where((Jc < i32(m)) & (Ic < i32(m)), c,
+                      jnp.zeros((), dtype=c.dtype))
+
+    cp_c = pltpu.make_async_copy(
+        Bc, bc_hbm.at[pl.ds(pl.multiple_of(t * tg, 8), tg), :],
+        sems.at[np.int32(2)])
+    cp_c.start()
+    cp_c.wait()
+
+
+def fused_residual_restrict_packed(u4, b4, w33, m: int,
+                                   tg: int | None = None,
+                                   interpret: bool = False):
+    """Residual + full-weighting restriction in ONE pass over u, b.
+
+    Returns the PADDED (M, M) coarse rhs (caller slices [:m, :m]) —
+    equal to ``restrict_packed(residual_packed(u4, b4, w33, m), m)`` up
+    to fp reassociation. Ghost need is 2 rows, so G = 8 leaves tg = 32
+    tiles VMEM-feasible at M = 4096 where the full down leg is not.
+    """
+    M = m + 1
+    if u4.shape != (4, M, M):
+        raise ValueError(f"expected (4, {M}, {M}) packed field, "
+                         f"got {u4.shape}")
+    if tg is None:
+        tg = pick_tile_rows_rr(M, u4.dtype.itemsize)
+    if tg is None or M % LANE or M % tg:
+        raise ValueError(f"side {2*m+1} not eligible for fused "
+                         "residual+restrict")
+    nt = M // tg
+    W = tg + 2 * G
+    dtype = u4.dtype
+    kernel = partial(_rr_kernel, tg=tg, m=m, w33=w33, n_tiles=nt)
+    space = pl.ANY if interpret else pltpu.MemorySpace.HBM
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 2,
+        out_specs=pl.BlockSpec(memory_space=space),
+        out_shape=jax.ShapeDtypeStruct((M, M), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, W, M), dtype),
+            pltpu.VMEM((4, W, M), dtype),
+            pltpu.VMEM((tg, M), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(b4, u4)
+
+
+def eligible_split(m: int) -> bool:
+    """Split down-path (separate sweep + fused residual/restrict) + up
+    leg — the M >= 4096 configuration."""
+    M = m + 1
+    return (M % LANE == 0 and M >= 2 * G
+            and pick_tile_rows_rr(M) is not None
+            and pick_tile_rows_up(M) is not None)
+
+
+# ---------------------------------------------------------------------------
 # up leg: prolong-add + sweep
 
 

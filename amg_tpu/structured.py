@@ -440,7 +440,7 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
         return cycle_stencil(hier, u2, b2, 1, pre_sweeps, post_sweeps,
                              omega, symmetric, _level=l)
     m = (S.side - 1) // 2
-    use_fused = use_legs = False
+    use_fused = use_legs = use_split = False
     if S.w33 is not None:
         if fused and S.side >= FUSED_PACKED_MIN_SIDE and _mosaic_ok():
             from amg_tpu.ops.pallas.packed_rbgs import (eligible,
@@ -454,6 +454,12 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
                 from amg_tpu.ops.pallas import packed_cycle
 
                 use_legs = packed_cycle.eligible(m)
+                if not use_legs:
+                    # M >= 4096: the G2=16 down leg is VMEM-ineligible;
+                    # split form — fused sweep, then fused residual+
+                    # restrict (G=8), then the up leg — replaces the
+                    # collapsing XLA packed ops (92-176 GB/s at M=4096)
+                    use_split = packed_cycle.eligible_split(m)
         if use_fused:
             def sweep(u4_, b4_):
                 return fused_gs4_sweep_packed(u4_, b4_, S.w33, m, omega,
@@ -485,6 +491,12 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
         u4, bc_pad = fused_down_leg_packed(u4, b4, S.w33, m, omega,
                                            symmetric)
         bc = bc_pad[:m, :m]
+    elif use_split:
+        from amg_tpu.ops.pallas.packed_cycle import \
+            fused_residual_restrict_packed
+
+        u4 = sweep(u4, b4)
+        bc = fused_residual_restrict_packed(u4, b4, S.w33, m)[:m, :m]
     else:
         for _ in range(pre_sweeps):
             u4 = sweep(u4, b4)
@@ -493,7 +505,9 @@ def vcycle_packed(hier: StencilHierarchy, u2, b2, pre_sweeps: int = 1,
     uc = vcycle_packed(hier, jnp.zeros_like(bc), bc, pre_sweeps,
                        post_sweeps, omega, symmetric, _level=l + 1,
                        min_side=min_side, fused=fused)
-    if use_legs:
+    if use_legs or use_split:
+        from amg_tpu.ops.pallas.packed_cycle import fused_up_leg_packed
+
         u4 = fused_up_leg_packed(u4, b4, jnp.pad(uc, ((0, 1), (0, 1))),
                                  S.w33, m, omega, symmetric)
     else:

@@ -168,6 +168,24 @@ def pallas_hardware_gate():
     except Exception as e:  # noqa: BLE001
         stats["packed_down"] = f"{type(e).__name__}: {str(e)[:200]}"
         failed.append(f"packed_down: {type(e).__name__}")
+    # fused residual+restrict (the M >= 4096 split-down-path kernel, r5)
+    try:
+        from amg_tpu.ops.pallas.packed_cycle import \
+            fused_residual_restrict_packed
+
+        rr_ref = np.asarray(jax.jit(lambda u, b: restrict_packed(
+            residual_packed(u, b, S_p.w33, m), m))(jnp.asarray(pref), b4))
+        rr_got = np.asarray(jax.jit(
+            lambda u, b: fused_residual_restrict_packed(
+                u, b, S_p.w33, m))(jnp.asarray(pref), b4))[:m, :m]
+        md = (float(np.abs(rr_got - rr_ref).max())
+              / float(np.abs(rr_ref).max()))
+        stats["packed_rr"] = md
+        if md >= 1e-5:
+            failed.append(f"packed_rr: WRONG reldiff={md:.3e}")
+    except Exception as e:  # noqa: BLE001
+        stats["packed_rr"] = f"{type(e).__name__}: {str(e)[:200]}"
+        failed.append(f"packed_rr: {type(e).__name__}")
     try:
         uc = jax.random.normal(jax.random.PRNGKey(3), (m, m),
                                dtype=jnp.float32)
