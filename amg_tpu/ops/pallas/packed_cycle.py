@@ -49,13 +49,17 @@ VMEM_EFF = int(11.5 * 1024 * 1024)
 
 
 def pick_tile_rows_down(M: int, itemsize: int = 4) -> int | None:
-    # Us + Bs scratch (8 blocks of (W, M)) + 4 residual values + bc stage
-    # + ~8 step temporaries
-    blocks = 21
+    # Us + Bs scratch (8 blocks of (W, M)) + residual values + bc stage
+    # + step temporaries. 15 calibrated r5: tg=64 at M=2048 compiles and
+    # runs 27% faster than tg=32 (0.656 vs 0.891 ms); tg=128 fails.
+    blocks = 15
     field = 4 * M * M * itemsize
     reserve = 3 * field if field <= 6 * 1024 * 1024 else 0
     budget = min(VMEM_EFF, int(15.5 * 1024 * 1024) - reserve)
-    for tg in (256, 128, 64, 32, 16, 8):
+    # tg < 2*G2 is never worth it: >= 3x ghost read overhead — the split
+    # path (fused sweep + G=8 residual/restrict kernel) moves strictly
+    # less there, so report ineligible instead
+    for tg in (256, 128, 64, 32):
         if M % tg:
             continue
         if blocks * (tg + 2 * G2) * M * itemsize <= budget:
@@ -64,7 +68,9 @@ def pick_tile_rows_down(M: int, itemsize: int = 4) -> int | None:
 
 
 def pick_tile_rows_up(M: int, itemsize: int = 4) -> int | None:
-    blocks = 17  # Us + Bs + Uc slab + ~8 temporaries
+    # 16 calibrated r5: tg=64 at M=2048 compiles (11.5 MB exactly) and
+    # runs 38% faster than tg=32 (0.446 vs 0.716 ms)
+    blocks = 16  # Us + Bs + Uc slab + temporaries
     field = 4 * M * M * itemsize
     reserve = 3 * field if field <= 6 * 1024 * 1024 else 0
     budget = min(VMEM_EFF, int(15.5 * 1024 * 1024) - reserve)

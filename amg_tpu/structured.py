@@ -578,6 +578,14 @@ def fmg_stencil(hier: StencilHierarchy, b2, cycles_per_level: int = 1,
     # starts at level 1 so the expensive fine level is never smoothed
     # with the masked machinery)
     bs = {l0: b2}
+    # restrict_mm/prolong_mm, NOT the shift-based forms: on TPU the f32
+    # matmuls run at the default (bf16-pass) MXU precision, perturbing
+    # the FMG b-chain by ~4e-3 relative — and the measured refine
+    # trajectory at 4095^2 exits in 2 refines with this start vs 3 with
+    # the exact shift-based chain (rss after 2 refines straddles the
+    # 1e-7 line: 1.9e-8 vs ~1.05e-7). An r5 attempt to swap to
+    # restrict_fw/prolong (saving ~1 ms of MXU work per solve) cost a
+    # whole extra refine (~13 ms) — see docs/PERF.md r5.
     for l in range(l0, L - 1):
         bs[l + 1] = restrict_mm(bs[l], hier.P1s[l])
     nc = hier.sides[-1]

@@ -126,6 +126,8 @@ def test_vcycle_packed_fused_matches_unfused():
             mock.patch.object(structured, "_mosaic_ok", lambda: True), \
             mock.patch("amg_tpu.ops.pallas.packed_cycle.eligible",
                        lambda mm: False), \
+            mock.patch("amg_tpu.ops.pallas.packed_cycle.eligible_split",
+                       lambda mm: False), \
             mock.patch(
                 "amg_tpu.ops.pallas.packed_rbgs.fused_gs4_sweep_packed",
                 lambda *a, **k: fused_gs4_sweep_packed(
