@@ -749,7 +749,13 @@ class StructuredSolver:
         fused_packed = False
         if smoother == "auto":
             if A_fine is not None or A_planes is not None:
-                smoother = ("fused" if side >= FUSED_MIN_SIDE else "packed")
+                # variable-coefficient fine operators: color-packed var
+                # pipeline at EVERY size (r5 end-to-end evidence: packed
+                # 0.112 s vs fused-masked 0.138 at 2047^2, and the fused
+                # masked var kernel exceeds scoped VMEM inside the solve
+                # program at 4095^2 — 17.74 M > 16 M; 'fused' remains an
+                # explicit option for standalone-sweep use)
+                smoother = "packed"
             else:
                 smoother = "packed"
                 fused_packed = True
