@@ -535,6 +535,50 @@ class EllDistSolver:
             u_next = df_add_f32(DF32(hi=uh, lo=ul), e)
             return u_next.hi, u_next.lo, err
 
+        def pcg_local(level_arrays, ext_arrays, Pb_data_loc, Pb_cols_loc,
+                      b_loc, tol, n_iters):
+            """Device-resident distributed PCG on the general (ELL)
+            path: inner products and rss psum'd over the row shards,
+            preconditioned by one shard_map V-cycle, the whole iteration
+            one lax.while_loop — the ELL analog of
+            DistStructuredSolver.solve_pcg (VERDICT r4 #4). CG runs on
+            the negated (SPD) system, krylov.py convention."""
+            a0, c0 = level_arrays[0][0], level_arrays[0][1]
+
+            def A_neg(x):
+                return -_matvec_local(levels[0]["A"], a0, c0, x, D)
+
+            def precond(r):
+                return -vcycle_local(level_arrays, ext_arrays,
+                                     Pb_data_loc, Pb_cols_loc,
+                                     jnp.zeros_like(r), r)
+
+            def dot(a, b):
+                return lax.psum(jnp.sum(a * b), AXIS)
+
+            r0 = -b_loc
+            z0 = precond(r0)
+
+            def cond(s):
+                _, _, _, _, it, err = s
+                return (err > tol) & (it < n_iters)
+
+            def body(s):
+                u, r, z, p, it, _ = s
+                Ap = A_neg(p)
+                alpha = dot(r, z) / dot(p, Ap)
+                u = u + alpha * p
+                r_new = r - alpha * Ap
+                z_new = precond(r_new)
+                beta = dot(r_new, z_new) / dot(r, z)
+                p = z_new + beta * p
+                return (u, r_new, z_new, p, it + 1, dot(r_new, r_new))
+
+            init = (jnp.zeros_like(b_loc), r0, z0, z0,
+                    jnp.asarray(0, dtype=jnp.int32), dot(r0, r0))
+            u, r, z, p, it, err = lax.while_loop(cond, body, init)
+            return u, jnp.stack([err, it.astype(b_loc.dtype)])
+
         arrs = tuple(
             (levels[l]["A"].data, levels[l]["A"].cols,
              levels[l]["R"].data, levels[l]["R"].cols,
@@ -565,6 +609,11 @@ class EllDistSolver:
             in_specs=(spec_lvl, spec_ext, P(AXIS, None), P(AXIS, None),
                       P(AXIS, None), P(AXIS, None), fld, fld, fld, fld),
             out_specs=(fld, fld, P())))
+        self._pcg = jax.jit(jax.shard_map(
+            pcg_local, mesh=mesh,
+            in_specs=(spec_lvl, spec_ext, P(AXIS, None), P(AXIS, None),
+                      fld, P(), P()),
+            out_specs=(fld, P())))
 
     # -- public API -------------------------------------------------------
 
@@ -587,6 +636,25 @@ class EllDistSolver:
     def rss(self, u_pad, b_pad) -> float:
         a0, c0 = self._arrs[0][0], self._arrs[0][1]
         return float(self._rss(a0, c0, u_pad, b_pad))
+
+    def solve_pcg(self, tolerance: float = 1e-9,
+                  n_iters: int = 100) -> SolveResult:
+        """Distributed device-resident AMG-preconditioned CG on the
+        general (ELL) path: one dispatch, psum'd inner products, V-cycle
+        preconditioner — see pcg_local. Native-precision (the solver
+        dtype); wrap in solve_ir for df32-grade tolerances in f32."""
+        import numpy as np
+
+        b_pad = self.pad_vec(self.b)
+        u, stats = self._pcg(self._arrs, self._ext_arrs, self._Pb_data,
+                             self._Pb_cols, b_pad,
+                             jnp.asarray(tolerance, dtype=self.dtype),
+                             jnp.asarray(n_iters, dtype=jnp.int32))
+        err_v, it_v = np.asarray(stats)
+        error, it = float(err_v), int(it_v)
+        return SolveResult(u=self.unpad_vec(u), iterations=it,
+                           error=error, converged=error <= tolerance,
+                           history=[(it, error)])
 
     def solve(self, tolerance=1e-9, compute_error_every_n_iters=5,
               n_iters=100) -> SolveResult:

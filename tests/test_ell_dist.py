@@ -180,3 +180,22 @@ def test_cycles_per_refine_plumbed():
                        cycles_per_refine=1,
                        config=MeshConfig(cycles_per_refine=3))
     assert s2.cycles_per_refine == 1
+
+
+def test_ell_dist_pcg_converges_and_matches_direct():
+    """Distributed ELL-path PCG (psum'd inner products, shard_map
+    V-cycle preconditioner in one while_loop) reaches reference-grade
+    rss and matches the direct solution."""
+    import scipy.sparse.linalg as spl
+
+    from amg_tpu.models import poisson
+
+    A, b = poisson.poisson2d(20)
+    solver = EllDistSolver(A, b, n_levels=4, n_devices=8,
+                           dtype=jnp.float64)
+    res = solver.solve_pcg(tolerance=1e-9, n_iters=50)
+    assert res.converged, f"rss={res.error:.3e}"
+    u_ref = spl.spsolve(A.to_scipy().tocsr(), np.asarray(b))
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(np.asarray(res.u), u_ref, rtol=0,
+                               atol=1e-6 * scale)
