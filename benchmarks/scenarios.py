@@ -164,12 +164,46 @@ def multihost_vcycle():
          n_sharded_levels=solver.cfg.n_sharded)
 
 
+def var_jump():
+    """Variable-coefficient jump diffusion (VERDICT r4 #3): a = 100
+    inside the centered square, harmonic-mean faces, hierarchy Galerkin-
+    coarsened ON DEVICE, solved with the auto var path (packed-var).
+    Size adapts to backend: 255 on a CPU run, 2047 on TPU. Tolerance is
+    the size's achievable absolute rss (non-pow2 coefficients floor the
+    defect correction at ~2^-44 * rss(b); docs/PERF.md r5)."""
+    from amg_tpu.models import poisson
+    from amg_tpu.models.varcoef import jump_planes
+    from amg_tpu.structured import StructuredSolver
+
+    on_tpu = jax.default_backend() == "tpu"
+    side = 2047 if on_tpu else 255
+    b2 = (poisson.rhs_device(side, dtype=jnp.float64)
+          if on_tpu else poisson.rhs(side, dtype=jnp.float64)
+          ).reshape(side, side)
+    solver = StructuredSolver(side, A_planes=jump_planes(side,
+                                                         a_in=100.0))
+    tol = 1e-7
+    u, stats = solver.solve_ir_device(b2, tolerance=tol)
+    err_v, it_v = np.asarray(stats)  # warm + sync
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        u, stats = solver.solve_ir_device(b2, tolerance=tol)
+        err_v, it_v = np.asarray(stats)
+        best = min(best, time.perf_counter() - t0)
+    emit(scenario="var_jump", metric="solve_wall_s", value=round(best, 5),
+         unit="s", side=side, a_in=100.0, tolerance=tol,
+         cycles=int(it_v) * solver.cycles_per_refine, rss=float(err_v),
+         smoother=solver.smoother, converged=bool(err_v <= tol))
+
+
 SCENARIOS = {
     "ref_testlib": ref_testlib,
     "weighted_jacobi": weighted_jacobi,
     "large_multicolor": large_multicolor,
     "rap_rebuild": rap_rebuild,
     "multihost_vcycle": multihost_vcycle,
+    "var_jump": var_jump,
 }
 
 
