@@ -40,9 +40,11 @@ from amg_tpu.ops.pallas.rbgs import _roll2
 from amg_tpu.sparse.packed import COLORS, _neighbors
 
 
-def pick_tile_rows_df(M: int, itemsize: int = 4) -> int | None:
-    # u.hi/lo ghosted slabs (8 blocks of (W, M)) + b.hi/lo unghosted
-    # (8 of (tg, M)) + ~6 temporaries
+def pick_tile_rows_df(M: int, itemsize: int = 4,
+                      pipeline: str = "sb") -> int | None:
+    # sb: u.hi/lo ghosted slabs (8 blocks of (W, M)) + b.hi/lo unghosted
+    # (8 of (tg, M)) + ~6 temporaries. db: 2 slots of (u slabs + b + Rh)
+    # + temporaries.
     field = 4 * M * M * itemsize
     reserve = 3 * field if field <= 6 * 1024 * 1024 else 0
     budget = min(VMEM_EFF, int(15.5 * 1024 * 1024) - reserve)
@@ -50,7 +52,9 @@ def pick_tile_rows_df(M: int, itemsize: int = 4) -> int | None:
         if M % tg:
             continue
         W = tg + 2 * G
-        if (14 * W + 12 * tg) * M * itemsize <= budget:
+        rows = ((16 * W + 30 * tg) if pipeline == "db"
+                else (14 * W + 12 * tg))
+        if rows * M * itemsize <= budget:
             return tg
     return None
 
@@ -102,6 +106,24 @@ def _df_kernel(bh_hbm, bl_hbm, uh_hbm, ul_hbm, rh_hbm, part_hbm,
     d_bh.wait()
     d_bl.wait()
 
+    _df_compute(Uh, Ul, Bh, Bl, Rh, Part, tg=tg, m=m, w33=w33,
+                row0=row0, M=M)
+
+    cp_r = pltpu.make_async_copy(
+        Rh, rh_hbm.at[:, pl.ds(pl.multiple_of(row0, 8), tg), :],
+        sems.at[np.int32(0)])
+    cp_p = pltpu.make_async_copy(
+        Part, part_hbm.at[t], sems.at[np.int32(1)])
+    cp_r.start()
+    cp_p.start()
+    cp_r.wait()
+    cp_p.wait()
+
+
+def _df_compute(Uh, Ul, Bh, Bl, Rh, Part, *, tg: int, m: int, w33, row0,
+                M: int):
+    """The TwoSum-cascade residual + rss partial on one slot's refs."""
+    i32 = jnp.int32
     J_g = (jax.lax.broadcasted_iota(i32, (tg, M), 0)
            + jnp.asarray(row0, dtype=i32))
     I_l = jax.lax.broadcasted_iota(i32, (tg, M), 1)
@@ -142,18 +164,99 @@ def _df_kernel(bh_hbm, bl_hbm, uh_hbm, ul_hbm, rh_hbm, part_hbm,
     # needs no sublane-aligned dynamic offset); caller reads [:, 0, 0]
     Part[:] = jnp.full((8, LANE), jnp.sum(psum), dtype=psum.dtype)
 
-    cp_r = pltpu.make_async_copy(
-        Rh, rh_hbm.at[:, pl.ds(pl.multiple_of(row0, 8), tg), :],
-        sems.at[np.int32(0)])
-    cp_p = pltpu.make_async_copy(
-        Part, part_hbm.at[t], sems.at[np.int32(1)])
-    cp_r.start()
-    cp_p.start()
-    cp_r.wait()
-    cp_p.wait()
+
+def _df_kernel_db(bh_hbm, bl_hbm, uh_hbm, ul_hbm, rh_hbm, part_hbm,
+                  Uh, Ul, Bh, Bl, Rh, Part, in_sems, out_sems, *,
+                  tg: int, m: int, w33, n_tiles: int):
+    """2-slot pipeline: tile t+1's four input streams prefetch while
+    tile t computes; tile t's r.hi + partial stream out from its slot
+    (drained before that slot's next prefetch, sweep-kernel pattern)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    Mp = uh_hbm.shape[1]
+    M = Mp
+    two = jnp.asarray(2, dtype=jnp.asarray(t).dtype)
+    slot = jax.lax.rem(t, two)
+    nxt = jax.lax.rem(t + 1, two)
+
+    def b_dma(hbm, scr, sem, tile):
+        return pltpu.make_async_copy(
+            hbm.at[:, pl.ds(pl.multiple_of(tile * tg, 8), tg), :], scr,
+            sem)
+
+    def start_in(tile, s):
+        _dma_in(uh_hbm, Uh.at[s], in_sems.at[s, np.int32(0)], tile,
+                n_tiles, tg, Mp)
+        _dma_in(ul_hbm, Ul.at[s], in_sems.at[s, np.int32(1)], tile,
+                n_tiles, tg, Mp)
+        b_dma(bh_hbm, Bh.at[s], in_sems.at[s, np.int32(2)], tile).start()
+        b_dma(bl_hbm, Bl.at[s], in_sems.at[s, np.int32(3)], tile).start()
+
+    def wait_in(tile, s):
+        _dma_in_wait(uh_hbm, Uh.at[s], in_sems.at[s, np.int32(0)], tile,
+                     n_tiles, tg)
+        _dma_in_wait(ul_hbm, Ul.at[s], in_sems.at[s, np.int32(1)], tile,
+                     n_tiles, tg)
+        b_dma(bh_hbm, Bh.at[s], in_sems.at[s, np.int32(2)], tile).wait()
+        b_dma(bl_hbm, Bl.at[s], in_sems.at[s, np.int32(3)], tile).wait()
+
+    def out_r(tile, s):
+        return pltpu.make_async_copy(
+            Rh.at[s],
+            rh_hbm.at[:, pl.ds(pl.multiple_of(tile * tg, 8), tg), :],
+            out_sems.at[s, np.int32(0)])
+
+    def out_p(tile, s):
+        return pltpu.make_async_copy(Part.at[s], part_hbm.at[tile],
+                                     out_sems.at[s, np.int32(1)])
+
+    @pl.when(t == 0)
+    def _():
+        start_in(t, slot)
+
+    @pl.when((t >= 1) & (t + 1 < T))
+    def _():
+        out_r(t - 1, nxt).wait()
+        out_p(t - 1, nxt).wait()
+
+    @pl.when(t + 1 < T)
+    def _():
+        start_in(t + 1, nxt)
+
+    wait_in(t, slot)
+
+    _df_compute(Uh.at[slot], Ul.at[slot], Bh.at[slot], Bl.at[slot],
+                Rh.at[slot], Part.at[slot], tg=tg, m=m, w33=w33,
+                row0=t * tg, M=M)
+
+    out_r(t, slot).start()
+    out_p(t, slot).start()
+
+    @pl.when(t == T - 1)
+    def _():
+        out_r(t, slot).wait()
+        out_p(t, slot).wait()
+
+    if True:
+        @pl.when(t == T - 1)
+        def _():
+            out_r(t - 1, nxt).wait()
+            out_p(t - 1, nxt).wait()
+
+
+def auto_pipeline_df(M: int) -> str:
+    """db overlaps the 4 input streams with the TwoSum-cascade compute
+    (measured r5, cache-defeating rotation at M=2048: db tg=16 0.760 ms
+    vs sb tg=32 1.111 — bitwise-identical) but its 2x scratch squeezes
+    tiles; worth it only while tg >= 16 (below that the ghost-read
+    overhead of the u slabs exceeds the overlap gain — at M = 4096 db
+    fits only tg = 8, 9 HBM passes vs sb tg=16's 7)."""
+    tg_db = pick_tile_rows_df(M, pipeline="db")
+    return "db" if (tg_db is not None and tg_db >= 16) else "sb"
 
 
 def fused_df_residual_rss(w33, b4_df, u4_df, m: int, tg: int | None = None,
+                          pipeline: str | None = None,
                           interpret: bool = False):
     """r.hi and per-tile rss partial rows in one pass.
 
@@ -165,24 +268,32 @@ def fused_df_residual_rss(w33, b4_df, u4_df, m: int, tg: int | None = None,
     if u4_df.hi.shape != (4, M, M):
         raise ValueError(f"expected (4, {M}, {M}) packed fields, "
                          f"got {u4_df.hi.shape}")
+    if pipeline is None:
+        pipeline = auto_pipeline_df(M)
     if tg is None:
-        tg = pick_tile_rows_df(M, u4_df.hi.dtype.itemsize)
+        tg = pick_tile_rows_df(M, u4_df.hi.dtype.itemsize, pipeline)
     if tg is None or M % LANE or M % tg or not is_pow2_weights(w33):
         raise ValueError(f"side {2*m+1} not eligible for the fused df "
                          "residual")
     nt = M // tg
     W = tg + 2 * G
     dtype = u4_df.hi.dtype
-    kernel = partial(_df_kernel, tg=tg, m=m, w33=w33, n_tiles=nt)
     space = pl.ANY if interpret else pltpu.MemorySpace.HBM
-    return pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=space)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=space)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((4, M, M), dtype),
-                   jax.ShapeDtypeStruct((nt, 8, LANE), dtype)],
-        scratch_shapes=[
+    if pipeline == "db" and nt >= 2:
+        kernel = partial(_df_kernel_db, tg=tg, m=m, w33=w33, n_tiles=nt)
+        scratch = [
+            pltpu.VMEM((2, 4, W, M), dtype),
+            pltpu.VMEM((2, 4, W, M), dtype),
+            pltpu.VMEM((2, 4, tg, M), dtype),
+            pltpu.VMEM((2, 4, tg, M), dtype),
+            pltpu.VMEM((2, 4, tg, M), dtype),
+            pltpu.VMEM((2, 8, LANE), dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        kernel = partial(_df_kernel, tg=tg, m=m, w33=w33, n_tiles=nt)
+        scratch = [
             pltpu.VMEM((4, W, M), dtype),
             pltpu.VMEM((4, W, M), dtype),
             pltpu.VMEM((4, tg, M), dtype),
@@ -190,6 +301,14 @@ def fused_df_residual_rss(w33, b4_df, u4_df, m: int, tg: int | None = None,
             pltpu.VMEM((4, tg, M), dtype),
             pltpu.VMEM((8, LANE), dtype),
             pltpu.SemaphoreType.DMA((4,)),
-        ],
+        ]
+    return pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=space)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((4, M, M), dtype),
+                   jax.ShapeDtypeStruct((nt, 8, LANE), dtype)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(b4_df.hi, b4_df.lo, u4_df.hi, u4_df.lo)

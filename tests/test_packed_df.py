@@ -65,3 +65,19 @@ def test_jaxpr_is_x64_clean():
            if re.search(r"\b[iuf]64\[", ln)]
     assert not bad, ("64-bit values in the df residual kernel:\n"
                      + "\n".join(bad[:8]))
+
+
+@pytest.mark.parametrize("pipe,tg", [("db", 16), ("db", 32)])
+def test_df_kernel_db_interpret_parity(pipe, tg):
+    """2-slot pipeline variant matches the unfused df32 residual + rss
+    (and the sb kernel) in interpret mode."""
+    m, u_df, b_df = _fields()
+    w33 = poisson_const_w33(SIDE, 1)[0]
+    r_ref = df_residual_const_packed(w33, b_df, u_df, m)
+    rss_ref = float(df_rss_fast(r_ref))
+    rh, parts = fused_df_residual_rss(w33, b_df, u_df, m, tg=tg,
+                                      pipeline=pipe, interpret=True)
+    sc = float(jnp.abs(r_ref.hi).max())
+    assert float(jnp.abs(rh - r_ref.hi).max()) / sc < 1e-6
+    rss_k = float(np.asarray(parts)[:, 0, 0].sum())
+    assert abs(rss_k - rss_ref) / rss_ref < 1e-5
