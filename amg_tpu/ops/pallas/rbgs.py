@@ -535,11 +535,17 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
                 pltpu.SemaphoreType.DMA((3,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
+        # Operands/result pinned to HBM on real TPU: with pl.ANY, XLA
+        # may place the buffers in VMEM (S(1)) inside larger programs
+        # and blow the scoped-vmem limit (observed: the var kernel at
+        # 4095^2 inside solve_loop_df32, 17.74 M > 16 M — the same
+        # promotion the packed kernels guard against).
+        space = pl.ANY if interpret else pltpu.MemorySpace.HBM
         return pl.pallas_call(
             kernel,
             grid=(nt,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            in_specs=[pl.BlockSpec(memory_space=space)] * 2,
+            out_specs=pl.BlockSpec(memory_space=space),
             out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
             scratch_shapes=scratch,
             interpret=interpret,
@@ -572,11 +578,14 @@ def fused_gs4_sweep(ps: PaddedStencil, u_pad: jnp.ndarray,
     # donated u to the output, and tile t's lower-ghost DMA then observed
     # tile t-1's post-sweep writes — wrong results on real TPU (fine in
     # interpret mode, whose grid steps see snapshotted buffers).
+    # HBM pin on real TPU (see the const branch above): the 9-plane
+    # operand is ~600 MB at 4095^2 and must never be VMEM-promoted.
+    space = pl.ANY if interpret else pltpu.MemorySpace.HBM
     out = pl.pallas_call(
         kernel,
         grid=(nt,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=space)] * 3,
+        out_specs=pl.BlockSpec(memory_space=space),
         out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
         scratch_shapes=scratch,
         interpret=interpret,
