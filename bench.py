@@ -589,6 +589,11 @@ def main():
     # the headline — failures here are fatal
     r1023 = tpu_solve_at(SIDE, n_runs=5)
     tpu_secs = r1023["wall_s"]
+    # the headline's CPU baseline runs IMMEDIATELY after the headline
+    # solve: it is cheap (~7 s), pure host, and vs_baseline must never
+    # be starved by the optional stages below (r5: it previously ran
+    # second-to-last, one overrun away from a NaN headline).
+    cpu_secs, _ = run_stage("cpu_baseline", cpu_baseline, need=15)
     r2047, e2047 = run_stage("solve_2047", lambda: tpu_solve_at(2047),
                              need=45)
     pcg, pcg_err = run_stage("pcg", pcg_stats, need=55)
@@ -603,7 +608,6 @@ def main():
                                 lambda: var_solve_at(4095, n_runs=2),
                                 need=60)
     sol, sol_err = run_stage("sweep_sol", sweep_sol_stats, need=50)
-    cpu_secs, _ = run_stage("cpu_baseline", cpu_baseline, need=15)
     # compute-dominated second metric row (VERDICT r4 #7): the 1023^2
     # wall is ~80% one tunnel round trip; the 4095^2 prepared-rhs row
     # reflects the chip. Its CPU baseline costs ~50 s (28 s native RAP
