@@ -48,8 +48,14 @@ threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from amg_tpu.utils.cache import enable_persistent_cache
+
+# Cross-process-STABLE cache keys (r5): without stable_keys the Mosaic
+# kernel payloads embed the caller's filename/line numbers, so every
+# driver variant recompiled everything (~45-90 s warmup per size) and the
+# budget starved the late bench stages. See amg_tpu/utils/cache.py.
+enable_persistent_cache(os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".jax_cache"))
 # f64 for the iterative-refinement outer loop (reference tolerances are
 # 1e-9-scale double; TPU f64 is emulated but only touched once per
 # refinement step).

@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from amg_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache(str(__import__("pathlib").Path(__file__).resolve().parents[1] / ".jax_cache"))
 if os.environ.get("JAX_PLATFORMS") in ("cpu",):
     jax.config.update("jax_platforms", "cpu")
 

@@ -27,7 +27,8 @@ from functools import partial
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from amg_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache(str(__import__("pathlib").Path(__file__).resolve().parents[1] / ".jax_cache"))
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp

@@ -212,3 +212,39 @@ def test_relative_tolerance_mode():
     # a loose rtol must stop earlier than the tight absolute solve
     r_loose = s.solve_ir_fused(b2, tolerance=1e-30, rtol=1e-9)
     assert r_loose.iterations <= r_abs.iterations
+
+
+def test_enable_persistent_cache_sets_stable_key_configs(tmp_path):
+    """enable_persistent_cache must pin the three configs that make the
+    on-disk compilation cache hit across processes — in particular
+    jax_include_full_tracebacks_in_locations=False, without which the
+    Mosaic kernel payload embeds the CALLER's filename/line numbers and
+    every driver variant gets a fresh cache key (measured r5: identical
+    solver programs launched from two same-content scripts never shared
+    an entry; see amg_tpu/utils/cache.py)."""
+    import jax as _jax
+
+    from amg_tpu.utils.cache import enable_persistent_cache
+
+    saved = {
+        "jax_compilation_cache_dir":
+            _jax.config.jax_compilation_cache_dir,
+        "jax_persistent_cache_min_compile_time_secs":
+            _jax.config.jax_persistent_cache_min_compile_time_secs,
+        "jax_include_full_tracebacks_in_locations":
+            _jax.config.jax_include_full_tracebacks_in_locations,
+    }
+    try:
+        enable_persistent_cache(str(tmp_path), min_compile_secs=2.5)
+        assert _jax.config.jax_compilation_cache_dir == str(tmp_path)
+        assert (_jax.config.jax_persistent_cache_min_compile_time_secs
+                == 2.5)
+        assert not _jax.config.jax_include_full_tracebacks_in_locations
+        # idempotent; stable_keys=False leaves locations rich
+        _jax.config.update("jax_include_full_tracebacks_in_locations",
+                           True)
+        enable_persistent_cache(str(tmp_path), stable_keys=False)
+        assert _jax.config.jax_include_full_tracebacks_in_locations
+    finally:
+        for k, v in saved.items():
+            _jax.config.update(k, v)
